@@ -1,0 +1,138 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tsm_det_pointcloud_tpu.ops.iou3d import (
+    boxes_iou_bev,
+    boxes_iou3d,
+    boxes_overlap_bev,
+    boxes_aligned_iou3d,
+    nms_bev,
+    nms_normal,
+)
+
+
+def box(x=0, y=0, z=0, dx=1, dy=1, dz=1, r=0.0):
+    return [x, y, z, dx, dy, dz, r]
+
+
+def test_identical_boxes_iou_one():
+    b = jnp.array([box(), box(1, 2, 0.5, 3, 2, 1, 0.7)])
+    iou = boxes_iou_bev(b, b)
+    np.testing.assert_allclose(np.diag(np.array(iou)), 1.0, atol=1e-5)
+    iou3 = boxes_iou3d(b, b)
+    np.testing.assert_allclose(np.diag(np.array(iou3)), 1.0, atol=1e-5)
+
+
+def test_disjoint_boxes_iou_zero():
+    a = jnp.array([box(0, 0)])
+    b = jnp.array([box(10, 10)])
+    assert float(boxes_iou_bev(a, b)[0, 0]) == pytest.approx(0.0, abs=1e-6)
+    assert float(boxes_iou3d(a, b)[0, 0]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_shifted_unit_squares():
+    # unit squares offset 0.5 in x: inter 0.5, union 1.5 -> IoU 1/3
+    a = jnp.array([box(0, 0)])
+    b = jnp.array([box(0.5, 0)])
+    assert float(boxes_overlap_bev(a, b)[0, 0]) == pytest.approx(0.5, abs=1e-5)
+    assert float(boxes_iou_bev(a, b)[0, 0]) == pytest.approx(1 / 3, abs=1e-5)
+
+
+def test_rotated_45_square_overlap():
+    # unit square vs itself rotated 45 deg: octagon, area 2*(sqrt(2)-1)
+    a = jnp.array([box(0, 0)])
+    b = jnp.array([box(0, 0, r=np.pi / 4)])
+    expected = 2 * (np.sqrt(2) - 1)
+    assert float(boxes_overlap_bev(a, b)[0, 0]) == pytest.approx(expected, abs=1e-4)
+    # symmetric
+    assert float(boxes_overlap_bev(b, a)[0, 0]) == pytest.approx(expected, abs=1e-4)
+
+
+def test_rotation_invariance_of_full_rotation():
+    a = jnp.array([box(1, 2, 0, 3, 1.5, 1, 0.3)])
+    b = jnp.array([box(1, 2, 0, 3, 1.5, 1, 0.3 + 2 * np.pi)])
+    assert float(boxes_iou_bev(a, b)[0, 0]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_height_overlap_in_iou3d():
+    # same BEV, z offset by half the height -> height overlap 0.5
+    a = jnp.array([box(0, 0, 0, 2, 2, 1)])
+    b = jnp.array([box(0, 0, 0.5, 2, 2, 1)])
+    # inter = 4*0.5=2, union = 4+4-2 = 6
+    assert float(boxes_iou3d(a, b)[0, 0]) == pytest.approx(2 / 6, abs=1e-5)
+
+
+def test_aligned_iou3d():
+    a = jnp.array([box(0, 0, 0, 2, 2, 2)])
+    b = jnp.array([box(1, 0, 0, 2, 2, 2)])
+    # inter = 1*2*2=4, union = 8+8-4=12
+    assert float(boxes_aligned_iou3d(a, b)[0, 0]) == pytest.approx(4 / 12, abs=1e-5)
+
+
+def test_one_box_inside_another():
+    a = jnp.array([box(0, 0, 0, 4, 4, 4)])
+    b = jnp.array([box(0, 0, 0, 2, 2, 2, r=0.5)])
+    # b fully inside a in BEV: overlap = area(b) = 4
+    assert float(boxes_overlap_bev(a, b)[0, 0]) == pytest.approx(4.0, abs=1e-4)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.array(
+        [
+            box(0, 0, 0, 2, 2, 2),         # score .9 keep
+            box(0.1, 0, 0, 2, 2, 2),       # overlaps #0 -> suppressed
+            box(10, 10, 0, 2, 2, 2),       # far -> keep
+            box(0.05, 0.05, 0, 2, 2, 2.0, 0.05),  # overlaps #0 -> suppressed
+        ]
+    )
+    scores = jnp.array([0.9, 0.8, 0.7, 0.6])
+    keep_idx, cnt, kept_scores = nms_bev(boxes, scores, thresh=0.5)
+    cnt = int(cnt)
+    assert cnt == 2
+    assert set(np.array(keep_idx[:cnt]).tolist()) == {0, 2}
+    np.testing.assert_allclose(np.array(kept_scores[:cnt]), [0.9, 0.7], atol=1e-6)
+
+
+def test_nms_respects_threshold():
+    # IoU of the pair is 1/3; thresh below keeps one, above keeps both
+    boxes = jnp.array([box(0, 0), box(0.5, 0)])
+    scores = jnp.array([0.9, 0.8])
+    _, cnt_hi, _ = nms_bev(boxes, scores, thresh=0.5)
+    _, cnt_lo, _ = nms_bev(boxes, scores, thresh=0.2)
+    assert int(cnt_hi) == 2  # iou 0.333 < 0.5 -> both survive
+    assert int(cnt_lo) == 1
+
+
+def test_nms_normal_matches_axis_aligned():
+    boxes = jnp.array([box(0, 0), box(0.5, 0), box(5, 5)])
+    scores = jnp.array([0.9, 0.8, 0.7])
+    keep_idx, cnt, _ = nms_normal(boxes, scores, thresh=0.3)
+    assert int(cnt) == 2
+    assert set(np.array(keep_idx[: int(cnt)]).tolist()) == {0, 2}
+
+
+def test_nms_large_random_matches_reference_impl():
+    # oracle: O(N^2) python NMS with the same IoU function
+    rng = np.random.RandomState(0)
+    n = 200
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-20, 20, (n, 2))
+    boxes[:, 3:5] = rng.uniform(1, 4, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+
+    iou = np.array(boxes_iou_bev(jnp.array(boxes), jnp.array(boxes)))
+    order = np.argsort(-scores)
+    keep_ref, suppressed = [], np.zeros(n, bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_ref.append(i)
+        for j in order:
+            if j != i and not suppressed[j] and scores[j] <= scores[i] and iou[i, j] > 0.3:
+                suppressed[j] = True
+    keep_idx, cnt, _ = nms_bev(jnp.array(boxes), jnp.array(scores), thresh=0.3)
+    got = sorted(np.array(keep_idx[: int(cnt)]).tolist())
+    assert got == sorted(keep_ref)
