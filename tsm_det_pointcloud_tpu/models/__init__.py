@@ -1,0 +1,170 @@
+"""Model registry + builders (parity: pcdet/models/__init__.py:16-44 and the
+per-subpackage __init__ registries).
+
+`build_network(model_cfg, num_class, dataset)` keeps the reference signature;
+`dataset` may be a live dataset object or a DatasetMeta.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .detectors.detector3d_template import DatasetMeta, Detector3DTemplate
+
+
+def _meta_from_dataset(dataset):
+    if isinstance(dataset, DatasetMeta):
+        return dataset
+    grid = getattr(dataset, "grid_size", None)
+    vs = getattr(dataset, "voxel_size", None)
+    dp = getattr(dataset, "data_processor", None)
+    return DatasetMeta(
+        class_names=tuple(dataset.class_names),
+        point_cloud_range=tuple(np.asarray(dataset.point_cloud_range).tolist()),
+        voxel_size=tuple(np.asarray(vs).tolist()) if vs is not None else None,
+        grid_size=tuple(np.asarray(grid).tolist()) if grid is not None else None,
+        max_voxels=int(getattr(dp, "max_voxels", None) or 16000),
+        max_points_per_voxel=int(getattr(dp, "max_points_per_voxel", None) or 5),
+        num_point_features=int(dataset.point_feature_encoder.num_point_features),
+        max_points=int(getattr(dataset, "max_points", 16384)),
+    )
+
+
+def build_module_list(model_cfg, num_class, meta: DatasetMeta):
+    """Instantiate the topology modules present in model_cfg, in order."""
+    from .backbones_2d.base_bev_backbone import BaseBEVBackbone
+    from .backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
+    from .backbones_3d.vfe import MeanVFE, MeanDensityVFE, PillarVFE
+    from .dense_heads.anchor_head import AnchorHeadSingle
+
+    vfe_registry = {
+        "MeanVFE": MeanVFE, "PillarVFE": PillarVFE, "MeanDensityVFE": MeanDensityVFE,
+    }
+    map_bev_registry = {
+        "PointPillarScatter": PointPillarScatter,
+        "HeightCompression": HeightCompression,
+    }
+    backbone2d_registry = {"BaseBEVBackbone": BaseBEVBackbone}
+    dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle}
+    backbone3d_registry = {}
+    point_head_registry = {}
+    roi_head_registry = {}
+    try:
+        from .backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+        backbone3d_registry.update(
+            VoxelBackBone8x=VoxelBackBone8x, VoxelResBackBone8x=VoxelResBackBone8x
+        )
+    except ImportError:
+        pass
+    try:
+        from .backbones_3d.pointnet2_backbone import (
+            PointNet2MSG, PointNet2FSMSG, VoxelPointNet2FSMSG,
+            VoxelPointNet2FSMSGDistillation,
+        )
+        backbone3d_registry.update(
+            PointNet2MSG=PointNet2MSG, PointNet2FSMSG=PointNet2FSMSG,
+            VoxelPointNet2FSMSG=VoxelPointNet2FSMSG,
+            VoxelPointNet2FSMSGDistillation=VoxelPointNet2FSMSGDistillation,
+        )
+    except ImportError:
+        pass
+    try:
+        from .dense_heads.center_head import CenterHead
+        dense_head_registry.update(CenterHead=CenterHead)
+    except ImportError:
+        pass
+    try:
+        from .dense_heads.point_head_vote import (
+            PointHeadVoteSASAStatistic, PointHeadVoteSASAStatisticDistillation,
+        )
+        point_head_registry.update(
+            PointHeadVoteSASAStatistic=PointHeadVoteSASAStatistic,
+            PointHeadVoteSASAStatisticDistillation=PointHeadVoteSASAStatisticDistillation,
+        )
+    except ImportError:
+        pass
+
+    modules, infos = [], []
+    cur_point_features = meta.num_point_features
+    cur_bev_channels = None
+
+    if model_cfg.get("VFE") is not None:
+        cls = vfe_registry[model_cfg["VFE"]["NAME"]]
+        m = cls(
+            model_cfg=dict(model_cfg["VFE"]),
+            num_point_features=meta.num_point_features,
+            voxel_size=meta.voxel_size,
+            point_cloud_range=meta.point_cloud_range,
+            max_voxels=meta.max_voxels,
+            max_points_per_voxel=meta.max_points_per_voxel,
+        )
+        cur_point_features = m.get_output_feature_dim()
+        modules.append(m)
+        infos.append(("vfe", model_cfg["VFE"]["NAME"]))
+
+    if model_cfg.get("BACKBONE_3D") is not None:
+        cls = backbone3d_registry[model_cfg["BACKBONE_3D"]["NAME"]]
+        m = cls(
+            model_cfg=dict(model_cfg["BACKBONE_3D"]),
+            input_channels=cur_point_features,
+            meta=meta,
+        )
+        modules.append(m)
+        infos.append(("backbone_3d", model_cfg["BACKBONE_3D"]["NAME"]))
+        cur_point_features = getattr(m, "num_point_features", cur_point_features)
+        cur_bev_channels = getattr(m, "num_bev_features", None)
+
+    if model_cfg.get("MAP_TO_BEV") is not None:
+        name = model_cfg["MAP_TO_BEV"]["NAME"]
+        cls = map_bev_registry[name]
+        kwargs = dict(model_cfg=dict(model_cfg["MAP_TO_BEV"]))
+        if name == "PointPillarScatter":
+            kwargs["grid_size"] = meta.grid_size
+        m = cls(**kwargs)
+        modules.append(m)
+        infos.append(("map_to_bev_module", name))
+        cur_bev_channels = model_cfg["MAP_TO_BEV"].get(
+            "NUM_BEV_FEATURES", cur_point_features
+        )
+
+    if model_cfg.get("BACKBONE_2D") is not None:
+        m = backbone2d_registry[model_cfg["BACKBONE_2D"]["NAME"]](
+            model_cfg=dict(model_cfg["BACKBONE_2D"]),
+            input_channels=cur_bev_channels,
+        )
+        modules.append(m)
+        infos.append(("backbone_2d", model_cfg["BACKBONE_2D"]["NAME"]))
+        cur_bev_channels = m.get_output_feature_dim()
+
+    if model_cfg.get("DENSE_HEAD") is not None:
+        name = model_cfg["DENSE_HEAD"]["NAME"]
+        m = dense_head_registry[name](
+            model_cfg=dict(model_cfg["DENSE_HEAD"]),
+            input_channels=cur_bev_channels,
+            num_class=num_class,
+            class_names=tuple(meta.class_names),
+            grid_size=meta.grid_size,
+            point_cloud_range=meta.point_cloud_range,
+        )
+        modules.append(m)
+        infos.append(("dense_head", name))
+
+    if model_cfg.get("POINT_HEAD") is not None:
+        name = model_cfg["POINT_HEAD"]["NAME"]
+        m = point_head_registry[name](
+            model_cfg=dict(model_cfg["POINT_HEAD"]),
+            num_class=num_class,
+            meta=meta,
+        )
+        modules.append(m)
+        infos.append(("point_head", name))
+
+    return modules, infos
+
+
+def build_network(model_cfg, num_class, dataset):
+    from .detectors import build_detector
+
+    return build_detector(
+        model_cfg=model_cfg, num_class=num_class,
+        dataset_meta=_meta_from_dataset(dataset),
+    )

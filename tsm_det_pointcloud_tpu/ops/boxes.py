@@ -150,3 +150,74 @@ def boxes3d_lidar_to_aligned_bev_np(boxes3d: np.ndarray) -> np.ndarray:
     corners = boxes_to_corners_3d_np(boxes3d)[:, :4, :2]
     mins, maxs = corners.min(axis=1), corners.max(axis=1)
     return np.concatenate([mins, maxs], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# KITTI camera <-> lidar box conversions (host side, numpy)
+# Parity: pcdet/utils/box_utils.py boxes3d_kitti_camera_to_lidar etc.
+# ---------------------------------------------------------------------------
+
+def boxes3d_kitti_camera_to_lidar(boxes3d_camera: np.ndarray, calib) -> np.ndarray:
+    """(N, 7) [x, y, z, l, h, w, ry] camera/rect -> (N, 7) lidar
+    [x, y, z, dx(l), dy(w), dz(h), heading]."""
+    boxes3d_camera = boxes3d_camera.copy()
+    xyz_camera = boxes3d_camera[:, 0:3]
+    l, h, w, r = (
+        boxes3d_camera[:, 3:4], boxes3d_camera[:, 4:5],
+        boxes3d_camera[:, 5:6], boxes3d_camera[:, 6:7],
+    )
+    xyz_lidar = calib.rect_to_lidar(xyz_camera)
+    xyz_lidar[:, 2] += h[:, 0] / 2
+    return np.concatenate([xyz_lidar, l, w, h, -(np.pi / 2 + r)], axis=-1)
+
+
+def boxes3d_lidar_to_kitti_camera(boxes3d_lidar: np.ndarray, calib) -> np.ndarray:
+    """(N, 7) lidar -> (N, 7) [x, y, z, l, h, w, ry] camera (bottom center)."""
+    boxes3d_lidar = boxes3d_lidar.copy()
+    xyz_lidar = boxes3d_lidar[:, 0:3].copy()
+    l, w, h, r = (
+        boxes3d_lidar[:, 3:4], boxes3d_lidar[:, 4:5],
+        boxes3d_lidar[:, 5:6], boxes3d_lidar[:, 6:7],
+    )
+    xyz_lidar[:, 2] -= h[:, 0] / 2
+    xyz_cam = calib.lidar_to_rect(xyz_lidar)
+    r_cam = -r - np.pi / 2
+    return np.concatenate([xyz_cam, l, h, w, r_cam], axis=-1)
+
+
+def boxes3d_kitti_camera_to_imageboxes(boxes3d: np.ndarray, calib,
+                                       image_shape=None) -> np.ndarray:
+    """(N, 7) camera boxes -> (N, 4) [x1, y1, x2, y2] image boxes."""
+    if boxes3d.shape[0] == 0:
+        return np.zeros((0, 4), np.float32)
+    corners3d = _boxes3d_camera_corners(boxes3d)
+    pts_img, _ = calib.corners3d_to_img_boxes(corners3d)
+    boxes2d = pts_img
+    if image_shape is not None:
+        boxes2d[:, 0] = np.clip(boxes2d[:, 0], a_min=0, a_max=image_shape[1] - 1)
+        boxes2d[:, 1] = np.clip(boxes2d[:, 1], a_min=0, a_max=image_shape[0] - 1)
+        boxes2d[:, 2] = np.clip(boxes2d[:, 2], a_min=0, a_max=image_shape[1] - 1)
+        boxes2d[:, 3] = np.clip(boxes2d[:, 3], a_min=0, a_max=image_shape[0] - 1)
+    return boxes2d
+
+
+def _boxes3d_camera_corners(boxes3d: np.ndarray) -> np.ndarray:
+    """(N, 7) camera boxes [x,y,z,l,h,w,ry] -> (N, 8, 3) rect corners
+    (bottom-center origin, y down)."""
+    n = boxes3d.shape[0]
+    l, h, w = boxes3d[:, 3], boxes3d[:, 4], boxes3d[:, 5]
+    x_c = np.array([1, 1, -1, -1, 1, 1, -1, -1], np.float32) / 2
+    y_c = np.array([0, 0, 0, 0, -1, -1, -1, -1], np.float32)
+    z_c = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.float32) / 2
+    corners = np.stack(
+        [x_c[None] * l[:, None], y_c[None] * h[:, None], z_c[None] * w[:, None]],
+        axis=-1,
+    )  # (N, 8, 3)
+    ry = boxes3d[:, 6]
+    c, s = np.cos(ry), np.sin(ry)
+    rot = np.stack(
+        [c, np.zeros_like(c), s, np.zeros_like(c), np.ones_like(c),
+         np.zeros_like(c), -s, np.zeros_like(c), c], axis=-1
+    ).reshape(n, 3, 3)
+    corners = np.einsum("nij,nkj->nki", rot, corners)
+    return corners + boxes3d[:, None, 0:3]

@@ -1,0 +1,139 @@
+"""Neighborhood query + grouping ops — XLA-native, static shapes.
+
+TPU replacement for pointnet2_batch_cuda query/group kernels
+(ops/pointnet2/pointnet2_batch/src/ball_query_gpu.cu, group_points_gpu.cu,
+interpolate_gpu.cu):
+  ball_query          <- ball_query_kernel_fast (:75)
+  ball_query_dilated  <- ball_query_dilated_kernel_fast (:138)   [annulus]
+  group_points        <- group_points (pure gather; autodiff covers the grad)
+  three_nn / three_interpolate <- interpolate_gpu.cu (:1-168)
+
+CUDA semantics preserved: the returned neighbor list is the FIRST `nsample`
+in-radius points in index order; rows with fewer hits are padded with the
+first hit (or index 0 when the ball is empty) and `cnt` reports the true
+number found (the reference's idx_cnt drives SASA density scores).
+
+Memory strategy: the (M, N) pair-distance grid is processed in row chunks of
+`chunk` query points via lax.map, so peak footprint is B*chunk*N floats
+rather than B*M*N.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _first_k_true(mask, k):
+    """mask (..., N) -> idx (..., k) of the first k True columns (index
+    order), padded with the first True (0 if none); plus cnt (...,)."""
+    if mask.ndim != 2:
+        raise ValueError("_first_k_true expects 2D mask (use vmap for batch)")
+    n = mask.shape[-1]
+    cols = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(mask, axis=-1) - 1  # position among hits
+    write_pos = jnp.where(mask & (rank < k), rank, k)  # k -> dropped
+    first = jnp.argmax(mask, axis=-1).astype(jnp.int32)  # 0 if no hits
+    out = jnp.broadcast_to(first[:, None], (mask.shape[0], k)).astype(jnp.int32)
+    col_b = jnp.broadcast_to(cols, mask.shape)
+    rows = jnp.broadcast_to(jnp.arange(mask.shape[0])[:, None], mask.shape)
+    out = out.at[rows, write_pos].set(col_b, mode="drop")
+    cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return out, cnt
+
+
+def _ball_query_single(new_xyz, xyz, valid, min_r2, max_r2, nsample, chunk):
+    """new_xyz (M, 3), xyz (N, 3), valid (N,) -> idx (M, nsample), cnt (M,)."""
+    M = new_xyz.shape[0]
+    chunk = min(chunk, M)
+    pad = (-M) % chunk
+    q = jnp.pad(new_xyz, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+    def one_chunk(qc):
+        d2 = jnp.sum((qc[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+        mask = (d2 < max_r2) & valid[None, :]
+        if min_r2 > 0:
+            mask &= d2 >= min_r2
+        return _first_k_true(mask, nsample)
+
+    idx, cnt = jax.lax.map(one_chunk, q)
+    return idx.reshape(-1, nsample)[:M], cnt.reshape(-1)[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "chunk"))
+def ball_query(radius, nsample, xyz, new_xyz, valid_mask=None, chunk=512):
+    """(B, N, 3) support points, (B, M, 3) queries ->
+    idx (B, M, nsample) int32, cnt (B, M) int32."""
+    B, N, _ = xyz.shape
+    valid = valid_mask if valid_mask is not None else jnp.ones((B, N), bool)
+    f = functools.partial(
+        _ball_query_single, min_r2=0.0, max_r2=float(radius) ** 2,
+        nsample=nsample, chunk=chunk,
+    )
+    return jax.vmap(f)(new_xyz, xyz, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("min_radius", "max_radius", "nsample", "chunk"))
+def ball_query_dilated(min_radius, max_radius, nsample, xyz, new_xyz,
+                       valid_mask=None, chunk=512):
+    """Annulus query: min_radius <= d < max_radius (dilated grouping,
+    parity: ball_query_dilated_kernel_fast)."""
+    B, N, _ = xyz.shape
+    valid = valid_mask if valid_mask is not None else jnp.ones((B, N), bool)
+    f = functools.partial(
+        _ball_query_single, min_r2=float(min_radius) ** 2,
+        max_r2=float(max_radius) ** 2, nsample=nsample, chunk=chunk,
+    )
+    return jax.vmap(f)(new_xyz, xyz, valid)
+
+
+def group_points(features, idx):
+    """features (B, N, C), idx (B, M, ns) -> (B, M, ns, C).
+    Channels-last by design (lane dim = C on TPU); autodiff provides the
+    scatter-add backward the CUDA grad kernel hand-implements."""
+    B, N, C = features.shape
+    _, M, ns = idx.shape
+    flat = jnp.take_along_axis(
+        features, idx.reshape(B, M * ns, 1), axis=1
+    )
+    return flat.reshape(B, M, ns, C)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def three_nn(unknown, known, valid_mask=None, chunk=1024):
+    """unknown (B, M, 3), known (B, N, 3) -> dist (B, M, 3), idx (B, M, 3).
+    Parity: interpolate_gpu.cu three_nn_kernel (returns sqrt distances)."""
+    B, N, _ = known.shape
+
+    def single(u, k, v):
+        M = u.shape[0]
+        c = min(chunk, M)
+        pad = (-M) % c
+        q = jnp.pad(u, ((0, pad), (0, 0))).reshape(-1, c, 3)
+
+        def one_chunk(qc):
+            d2 = jnp.sum((qc[:, None, :] - k[None, :, :]) ** 2, axis=-1)
+            d2 = jnp.where(v[None, :], d2, jnp.inf)
+            neg, idx = jax.lax.top_k(-d2, 3)
+            return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+        d, i = jax.lax.map(one_chunk, q)
+        return d.reshape(-1, 3)[:M], i.reshape(-1, 3)[:M]
+
+    valid = valid_mask if valid_mask is not None else jnp.ones((B, N), bool)
+    return jax.vmap(single)(unknown, known, valid)
+
+
+def three_interpolate(features, idx, weight):
+    """features (B, N, C), idx (B, M, 3), weight (B, M, 3) -> (B, M, C).
+    Parity: interpolate_gpu.cu three_interpolate_kernel."""
+    gathered = group_points(features, idx)  # (B, M, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def three_interpolate_weights(dist):
+    """Inverse-distance weights from three_nn dists (reference
+    pointnet2_modules FP module: w = 1/d / sum(1/d))."""
+    recip = 1.0 / jnp.clip(dist, 1e-8)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)

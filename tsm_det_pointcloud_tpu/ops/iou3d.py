@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import boxes_to_corners_bev
+from .topk import top_k as _safe_top_k
 
 _MAX_VERTS = 8  # 4-gon clipped by 4 half-planes has <= 8 vertices
 _EPS = 1e-8
@@ -216,7 +217,7 @@ def nms_bev(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=512,
     """
     n = scores.shape[0]
     k = min(pre_maxsize, n)
-    top_scores, order = jax.lax.top_k(scores, k)
+    top_scores, order = _safe_top_k(scores, k)
     boxes_s = boxes[order]
     valid = jnp.isfinite(top_scores) & (top_scores > (-jnp.inf if score_thresh is None else score_thresh))
     corners = boxes_to_corners_bev(boxes_s)
@@ -230,7 +231,7 @@ def nms_normal(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=512,
     """Axis-aligned NMS (ignores heading). Parity: nms_normal_gpu."""
     n = scores.shape[0]
     k = min(pre_maxsize, n)
-    top_scores, order = jax.lax.top_k(scores, k)
+    top_scores, order = _safe_top_k(scores, k)
     boxes_s = boxes[order]
     valid = jnp.isfinite(top_scores) & (top_scores > (-jnp.inf if score_thresh is None else score_thresh))
     aabb = jnp.concatenate(
