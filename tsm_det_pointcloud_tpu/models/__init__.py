@@ -55,13 +55,15 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         )
     except ImportError:
         pass
+    from .backbones_3d.pointnet2_backbone import PointNet2MSG, PointNet2FSMSG
+    backbone3d_registry.update(
+        PointNet2MSG=PointNet2MSG, PointNet2FSMSG=PointNet2FSMSG,
+    )
     try:
-        from .backbones_3d.pointnet2_backbone import (
-            PointNet2MSG, PointNet2FSMSG, VoxelPointNet2FSMSG,
-            VoxelPointNet2FSMSGDistillation,
+        from .backbones_3d.voxel_pointnet2_backbone import (
+            VoxelPointNet2FSMSG, VoxelPointNet2FSMSGDistillation,
         )
         backbone3d_registry.update(
-            PointNet2MSG=PointNet2MSG, PointNet2FSMSG=PointNet2FSMSG,
             VoxelPointNet2FSMSG=VoxelPointNet2FSMSG,
             VoxelPointNet2FSMSGDistillation=VoxelPointNet2FSMSGDistillation,
         )

@@ -1,0 +1,296 @@
+"""Sparse 3D voxel backbones (flax) on the gather-GEMM-scatter spconv ops.
+
+Parity: pcdet/models/backbones_3d/spconv_backbone.py — `VoxelBackBone8x`
+(:138-193) and `VoxelResBackBone8x` (:197-306): the SECOND sparse stem
+conv_input + conv1..4 (strides 1,2,4,8) + conv_out, emitting
+`encoded_spconv_tensor` (stride 8, densified for HeightCompression) and
+`multi_scale_3d_features/strides` for downstream PFE/RoI heads.
+
+TPU design: a sparse tensor is (features (B, V, C), coords (B, V, 3) zyx
+sorted by linearized key, valid (B, V)); every conv is a static-shape
+rulebook lookup (binary search over sorted keys) + one MXU einsum
+(ops/spconv.py). Voxel capacities per stride level are static; BN is
+flax BatchNorm(eps 1e-3, momentum 0.99) matching the reference's
+BatchNorm1d(eps=1e-3, momentum=0.01).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import spconv as sp
+
+
+class SparseTensor(NamedTuple):
+    """Fixed-capacity batched sparse tensor (rows sorted by voxel key)."""
+    features: jnp.ndarray   # (B, V, C)
+    coords: jnp.ndarray     # (B, V, 3) int32 zyx, -1 pad
+    valid: jnp.ndarray      # (B, V) bool
+    grid: tuple             # (gz, gy, gx) static
+    stride: int             # downsample factor vs the voxel grid
+
+
+def _out_grid(grid, kernel_size, stride, padding):
+    ks = np.asarray((kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size)
+    st = np.asarray((stride,) * 3 if isinstance(stride, int) else stride)
+    pd = np.asarray((padding,) * 3 if isinstance(padding, int) else padding)
+    g = (np.asarray(grid) + 2 * pd - ks) // st + 1
+    return tuple(int(v) for v in g)
+
+
+def _kaiming(key, shape, dtype=jnp.float32):
+    # fan_in = K * Cin (kernel taps x input channels), like nn.initializers
+    fan_in = shape[0] * shape[1]
+    return jnp.asarray(
+        np.sqrt(2.0 / fan_in), dtype
+    ) * nn.initializers.normal(1.0)(key, shape, dtype)
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv + BN + ReLU."""
+    out_channels: int
+    kernel_size: int = 3
+    use_norm: bool = True
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, training=False) -> SparseTensor:
+        k = self.kernel_size
+        K = k ** 3 if isinstance(k, int) else int(np.prod(k))
+        cin = st.features.shape[-1]
+        w = self.param("kernel", _kaiming, (K, cin, self.out_channels))
+        feats = sp.subm_conv3d(st.features, st.coords, st.valid, w, st.grid)
+        if self.use_norm:
+            feats = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
+                name="bn",
+            )(feats, mask=st.valid[..., None])
+        else:
+            feats = feats + self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,)
+            )
+        if self.use_relu:
+            feats = nn.relu(feats)
+        feats = jnp.where(st.valid[..., None], feats, 0.0)
+        return st._replace(features=feats)
+
+
+class SparseConv(nn.Module):
+    """Strided sparse conv + BN + ReLU; changes the position set."""
+    out_channels: int
+    kernel_size: tuple | int = 3
+    stride: tuple | int = 2
+    padding: tuple | int = 1
+    out_capacity: int = None
+    use_norm: bool = True
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, training=False) -> SparseTensor:
+        ks = self.kernel_size
+        K = ks ** 3 if isinstance(ks, int) else int(np.prod(ks))
+        cin = st.features.shape[-1]
+        w = self.param("kernel", _kaiming, (K, cin, self.out_channels))
+        out_grid = _out_grid(st.grid, ks, self.stride, self.padding)
+        cap = self.out_capacity or st.features.shape[1]
+        feats, coords, valid = sp.sparse_conv3d(
+            st.features, st.coords, st.valid, w, st.grid, out_grid,
+            kernel_size=ks, stride=self.stride, padding=self.padding,
+            out_capacity=cap,
+        )
+        if self.use_norm:
+            feats = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
+                name="bn",
+            )(feats, mask=valid[..., None])
+        else:
+            feats = feats + self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,)
+            )
+        if self.use_relu:
+            feats = nn.relu(feats)
+        feats = jnp.where(valid[..., None], feats, 0.0)
+        s = self.stride if isinstance(self.stride, int) else max(self.stride)
+        return SparseTensor(feats, coords, valid, out_grid, st.stride * s)
+
+
+class SparseInverseConv(nn.Module):
+    """Inverse (decoder) conv back onto a known fine position set."""
+    out_channels: int
+    kernel_size: tuple | int = 3
+    stride: tuple | int = 2
+    padding: tuple | int = 1
+    use_norm: bool = True
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, fine: SparseTensor,
+                 training=False) -> SparseTensor:
+        ks = self.kernel_size
+        K = ks ** 3 if isinstance(ks, int) else int(np.prod(ks))
+        cin = st.features.shape[-1]
+        w = self.param("kernel", _kaiming, (K, cin, self.out_channels))
+        feats = sp.inverse_conv3d(
+            st.features, st.coords, st.valid, w, fine.coords, fine.valid,
+            st.grid, kernel_size=ks, stride=self.stride, padding=self.padding,
+        )
+        if self.use_norm:
+            feats = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99, epsilon=1e-3,
+                name="bn",
+            )(feats, mask=fine.valid[..., None])
+        else:
+            feats = feats + self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,)
+            )
+        if self.use_relu:
+            feats = nn.relu(feats)
+        feats = jnp.where(fine.valid[..., None], feats, 0.0)
+        return SparseTensor(feats, fine.coords, fine.valid, fine.grid, fine.stride)
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual pair of submanifold convs (parity: SparseBasicBlock,
+    spconv_backbone.py:16-60)."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, training=False) -> SparseTensor:
+        identity = st.features
+        out = SubMConv(self.channels, name="conv1")(st, training)
+        out2 = SubMConv(self.channels, use_relu=False, name="conv2")(out, training)
+        feats = nn.relu(out2.features + identity)
+        feats = jnp.where(st.valid[..., None], feats, 0.0)
+        return st._replace(features=feats)
+
+
+def sparse_shape_from_meta(meta):
+    """Reference adds +1 on z: sparse_shape = grid_size[::-1] + [1, 0, 0]."""
+    nx, ny, nz = meta.grid_size
+    return (int(nz) + 1, int(ny), int(nx))
+
+
+class VoxelBackBone8x(nn.Module):
+    """SECOND sparse stem (parity: spconv_backbone.py:138-193).
+
+    in: voxel_features (B, V, C), voxel_coords (B, V, 3) zyx sorted,
+        voxel_mask (B, V)
+    out: encoded_spconv_tensor (dense (B, nz', ny/8, nx/8, 128)),
+         encoded_spconv_tensor_stride = 8,
+         multi_scale_3d_features {x_conv1..4: SparseTensor},
+         multi_scale_3d_strides {1, 2, 4, 8}.
+    """
+    model_cfg: dict
+    input_channels: int
+    meta: object
+
+    @property
+    def num_bev_features(self):
+        return None  # set by HeightCompression
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        grid0 = sparse_shape_from_meta(self.meta)
+        st = SparseTensor(
+            features=batch_dict["voxel_features"],
+            coords=batch_dict["voxel_coords"],
+            valid=batch_dict["voxel_mask"],
+            grid=grid0, stride=1,
+        )
+        caps = self.model_cfg.get("VOXEL_CAPACITIES", None)
+        V = st.features.shape[1]
+        if caps is None:
+            caps = [V, V, V, V]  # conv2..4, conv_out capacities
+
+        x = SubMConv(16, name="conv_input")(st, training)
+        x1 = SubMConv(16, name="conv1")(x, training)
+
+        x2 = SparseConv(32, out_capacity=caps[0], name="conv2_down")(x1, training)
+        x2 = SubMConv(32, name="conv2_a")(x2, training)
+        x2 = SubMConv(32, name="conv2_b")(x2, training)
+
+        x3 = SparseConv(64, out_capacity=caps[1], name="conv3_down")(x2, training)
+        x3 = SubMConv(64, name="conv3_a")(x3, training)
+        x3 = SubMConv(64, name="conv3_b")(x3, training)
+
+        x4 = SparseConv(
+            64, padding=(0, 1, 1), out_capacity=caps[2], name="conv4_down"
+        )(x3, training)
+        x4 = SubMConv(64, name="conv4_a")(x4, training)
+        x4 = SubMConv(64, name="conv4_b")(x4, training)
+
+        out = SparseConv(
+            128, kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=0,
+            out_capacity=caps[3], name="conv_out",
+        )(x4, training)
+
+        batch_dict["encoded_spconv_tensor"] = sp.sparse_to_dense(
+            out.features, out.coords, out.valid, out.grid
+        )
+        batch_dict["encoded_spconv_tensor_stride"] = 8
+        batch_dict["multi_scale_3d_features"] = {
+            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
+        }
+        batch_dict["multi_scale_3d_strides"] = {
+            "x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8,
+        }
+        return batch_dict
+
+
+class VoxelResBackBone8x(nn.Module):
+    """Residual variant (parity: spconv_backbone.py:197-306)."""
+    model_cfg: dict
+    input_channels: int
+    meta: object
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        grid0 = sparse_shape_from_meta(self.meta)
+        st = SparseTensor(
+            features=batch_dict["voxel_features"],
+            coords=batch_dict["voxel_coords"],
+            valid=batch_dict["voxel_mask"],
+            grid=grid0, stride=1,
+        )
+        caps = self.model_cfg.get("VOXEL_CAPACITIES", None)
+        V = st.features.shape[1]
+        if caps is None:
+            caps = [V, V, V, V]
+
+        x = SubMConv(16, name="conv_input")(st, training)
+        x1 = SparseBasicBlock(16, name="res1_a")(x, training)
+        x1 = SparseBasicBlock(16, name="res1_b")(x1, training)
+
+        x2 = SparseConv(32, out_capacity=caps[0], name="conv2_down")(x1, training)
+        x2 = SparseBasicBlock(32, name="res2_a")(x2, training)
+        x2 = SparseBasicBlock(32, name="res2_b")(x2, training)
+
+        x3 = SparseConv(64, out_capacity=caps[1], name="conv3_down")(x2, training)
+        x3 = SparseBasicBlock(64, name="res3_a")(x3, training)
+        x3 = SparseBasicBlock(64, name="res3_b")(x3, training)
+
+        x4 = SparseConv(
+            128, padding=(0, 1, 1), out_capacity=caps[2], name="conv4_down"
+        )(x3, training)
+        x4 = SparseBasicBlock(128, name="res4_a")(x4, training)
+        x4 = SparseBasicBlock(128, name="res4_b")(x4, training)
+
+        out = SparseConv(
+            128, kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=0,
+            out_capacity=caps[3], name="conv_out",
+        )(x4, training)
+
+        batch_dict["encoded_spconv_tensor"] = sp.sparse_to_dense(
+            out.features, out.coords, out.valid, out.grid
+        )
+        batch_dict["encoded_spconv_tensor_stride"] = 8
+        batch_dict["multi_scale_3d_features"] = {
+            "x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
+        }
+        batch_dict["multi_scale_3d_strides"] = {
+            "x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8,
+        }
+        return batch_dict

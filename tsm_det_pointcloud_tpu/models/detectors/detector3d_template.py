@@ -110,7 +110,12 @@ class Detector3DTemplate(nn.Module):
                 cnt,
             )
 
-        boxes, scores, labels, counts = jax.vmap(single)(cls_preds, box_preds)
+        # lax.map (not vmap): per-sample NMS keeps the polygon-clip working
+        # set at one sample's footprint; vmap over batch 16 multiplies the
+        # (block, PRE_MAX, 8, 2) clip buffers into tens of GB.
+        boxes, scores, labels, counts = jax.lax.map(
+            lambda args: single(*args), (cls_preds, box_preds)
+        )
         pred = {
             "pred_boxes": boxes, "pred_scores": scores,
             "pred_labels": labels, "count": counts,

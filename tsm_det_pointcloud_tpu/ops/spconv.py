@@ -1,0 +1,254 @@
+"""Sparse 3D convolution — gather-GEMM-scatter with static capacities.
+
+TPU-native replacement for the external spconv 2.x dependency
+(pcdet/utils/spconv_utils.py:3-6; used by VoxelBackBone8x, UNetV2 and the TSM
+mini U-Nets, SURVEY.md §2.1). Design (SURVEY.md §7.2 "the hard one"):
+
+  * A sparse tensor is a dict of fixed-capacity arrays per batch element:
+      features (B, V, C) f32, coords (B, V, 3) int32 zyx (-1 pad),
+      valid (B, V) bool — with the INVARIANT that rows are sorted by the
+      linearized voxel key (voxelize/unique emit this order for free).
+  * Rulebook construction = sorted-key binary search (jnp.searchsorted) per
+    kernel tap, NOT the reference's dense (B, Z, Y, X) hash
+    (common_utils.py:248-265): KITTI's stride-1 grid is 41x1600x1408 = 92M
+    cells — a dense table would be GBs; log2(V)~14-step searches over the
+    V<=16k sorted keys are cheap and fully vectorized.
+  * Submanifold conv: out positions == in positions; per-tap gather + one
+    (V, Cin)x(Cin, Cout) GEMM on the MXU, accumulated over taps.
+  * Strided conv: exact spconv output set — the union over inputs of every
+    output whose receptive field covers them (<= ceil(k/s)^3 candidates per
+    input), sort-unique to a static capacity.
+  * Inverse conv: transpose rulebook — each fine output gathers the coarse
+    voxels whose receptive field covers it, with the matching mirrored tap
+    weight.
+
+Reference numerics: BN eps 1e-3 / momentum 0.01 live in the model layer
+(pointnet2_modules.py:1608); here only the linear ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linearize(coords_zyx, grid, valid=None):
+    """(..., 3) zyx -> scalar keys; invalid / out-of-grid -> sentinel.
+
+    Both bounds are checked: an un-checked high coordinate (e.g. y == gy
+    from a +1 neighbor query at the grid edge) would alias-wrap onto the
+    key of a different voxel.
+    """
+    gz, gy, gx = grid
+    key = (coords_zyx[..., 0] * gy + coords_zyx[..., 1]) * gx + coords_zyx[..., 2]
+    sentinel = gz * gy * gx
+    bad = jnp.any(coords_zyx < 0, axis=-1) | jnp.any(
+        coords_zyx >= jnp.asarray([gz, gy, gx], coords_zyx.dtype), axis=-1
+    )
+    if valid is not None:
+        bad = bad | ~valid
+    return jnp.where(bad, sentinel, key)
+
+
+def kernel_offsets(kernel_size):
+    """Static (K, 3) zyx offsets, centered (k odd) or from 0 (k even)."""
+    ks = (
+        (kernel_size,) * 3 if isinstance(kernel_size, int) else tuple(kernel_size)
+    )
+    ranges = []
+    for k in ks:
+        lo = -(k // 2) if k % 2 == 1 else 0
+        ranges.append(np.arange(lo, lo + k))
+    off = np.stack(np.meshgrid(*ranges, indexing="ij"), axis=-1).reshape(-1, 3)
+    return off.astype(np.int32)  # (K, 3) zyx
+
+
+def _lookup(sorted_keys, query_keys, sentinel):
+    """Binary search query_keys in sorted_keys. Returns (idx, found)."""
+    idx = jnp.searchsorted(sorted_keys, query_keys)
+    idx = jnp.clip(idx, 0, sorted_keys.shape[0] - 1)
+    found = (sorted_keys[idx] == query_keys) & (query_keys < sentinel)
+    return idx, found
+
+
+def subm_conv3d(features, coords, valid, weight, grid):
+    """Submanifold sparse conv: output at exactly the input positions.
+
+    features (B, V, Cin), coords (B, V, 3) sorted-by-key, valid (B, V),
+    weight (K, Cin, Cout) with K = prod(kernel_size) taps ordered like
+    kernel_offsets(). Returns (B, V, Cout).
+    """
+    K = weight.shape[0]
+    k = round(K ** (1 / 3))
+    offs = jnp.asarray(kernel_offsets(k))  # (K, 3)
+    sentinel = int(np.prod(grid))
+
+    def single(f, c, v):
+        keys = linearize(c, grid, v)  # sorted by invariant
+        qc = c[None, :, :] + offs[:, None, :]             # (K, V, 3)
+        qk = linearize(qc, grid, v[None, :])
+        idx, found = _lookup(keys, qk, sentinel)          # (K, V)
+        gathered = jnp.where(
+            (found & v[None, :])[..., None], f[idx], 0.0
+        )                                                  # (K, V, Cin)
+        # one (V, K*Cin) x (K*Cin, Cout) MXU contraction instead of K small
+        # GEMMs — the einsum contracts both tap and channel axes at once.
+        out = jnp.einsum(
+            "kvi,kio->vo", gathered, weight,
+            preferred_element_type=f.dtype,
+        )
+        return jnp.where(v[:, None], out, 0.0)
+
+    return jax.vmap(single)(features, coords, valid)
+
+
+def _downsample_out_coords(coords, valid, grid, out_grid, kernel_size, stride,
+                           padding, out_capacity):
+    """Exact spconv strided-conv output set: union over inputs of all output
+    positions whose receptive field covers them; sorted-unique to capacity.
+    Returns (out_coords (Vo, 3), out_valid (Vo,)) sorted by key."""
+    ks = np.asarray(
+        (kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size
+    )
+    st = np.asarray((stride,) * 3 if isinstance(stride, int) else stride)
+    pd = np.asarray((padding,) * 3 if isinstance(padding, int) else padding)
+    # per-axis candidate counts
+    n_cand = [int(np.ceil(k / s)) for k, s in zip(ks, st)]
+    cand_offsets = np.stack(
+        np.meshgrid(*[np.arange(n) for n in n_cand], indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # (C, 3)
+
+    st_j = jnp.asarray(st, jnp.int32)
+    pd_j = jnp.asarray(pd, jnp.int32)
+    ks_j = jnp.asarray(ks, jnp.int32)
+
+    # o_min = ceil((i + p - k + 1)/s) with sign-correct ceiling;
+    # candidates o_min + cand_offset, clipped to [0, o_max]
+    o_min = jnp.where(
+        coords + pd_j - ks_j + 1 >= 0,
+        (coords + pd_j - ks_j + 1 + st_j - 1) // st_j,
+        -((-(coords + pd_j - ks_j + 1)) // st_j),
+    )
+    o_max = (coords + pd_j) // st_j
+
+    cands = o_min[:, None, :] + jnp.asarray(cand_offsets)[None, :, :]  # (V, C, 3)
+    ok = (
+        valid[:, None]
+        & jnp.all(cands <= o_max[:, None, :], axis=-1)
+        & jnp.all(cands >= 0, axis=-1)
+        & jnp.all(cands < jnp.asarray(out_grid, jnp.int32), axis=-1)
+    )
+    cands = cands.reshape(-1, 3)
+    ok = ok.reshape(-1)
+
+    keys = linearize(cands, out_grid, ok)
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    scands = cands[order]
+    sentinel = int(np.prod(out_grid))
+    svalid = skeys < sentinel
+    is_start = jnp.concatenate(
+        [svalid[:1], (skeys[1:] != skeys[:-1]) & svalid[1:]]
+    )
+    slot = jnp.cumsum(is_start) - 1
+    out_coords = jnp.full((out_capacity, 3), -1, jnp.int32)
+    write = jnp.where(is_start & (slot < out_capacity), slot, out_capacity)
+    out_coords = out_coords.at[write].set(scands, mode="drop")
+    out_valid = jnp.arange(out_capacity) < jnp.minimum(jnp.sum(is_start), out_capacity)
+    return out_coords, out_valid
+
+
+def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
+                  kernel_size, stride, padding, out_capacity):
+    """Strided (downsampling) sparse conv.
+    Returns (out_features (B, Vo, Cout), out_coords (B, Vo, 3),
+    out_valid (B, Vo)) with out coords in out_grid units, sorted."""
+    K = weight.shape[0]
+    offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3) zyx
+    ks = np.asarray(
+        (kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size
+    )
+    st_j = jnp.asarray(
+        (stride,) * 3 if isinstance(stride, int) else stride, jnp.int32
+    )
+    pd_j = jnp.asarray(
+        (padding,) * 3 if isinstance(padding, int) else padding, jnp.int32
+    )
+    lo = jnp.asarray([-(k // 2) if k % 2 == 1 else 0 for k in ks], jnp.int32)
+    sentinel = int(np.prod(grid))
+
+    def single(f, c, v):
+        in_keys = linearize(c, grid, v)
+        oc, ov = _downsample_out_coords(
+            c, v, grid, out_grid, kernel_size, stride, padding, out_capacity
+        )
+        # input position for tap t at output o (spconv convention):
+        # i = o*s - p + tap, tap in [0, k)
+        taps = offs - lo[None, :]                          # (K, 3) in [0, k)
+        qc = oc[None, :, :] * st_j - pd_j + taps[:, None, :]
+        qk = linearize(qc, grid, ov[None, :])
+        idx, found = _lookup(in_keys, qk, sentinel)        # (K, Vo)
+        gathered = jnp.where((found & ov[None, :])[..., None], f[idx], 0.0)
+        out = jnp.einsum(
+            "kvi,kio->vo", gathered, weight, preferred_element_type=f.dtype
+        )
+        return jnp.where(ov[:, None], out, 0.0), oc, ov
+
+    return jax.vmap(single)(features, coords, valid)
+
+
+def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
+                   fine_coords, fine_valid, coarse_grid, kernel_size, stride,
+                   padding):
+    """Sparse inverse (transposed) conv: scatter coarse features back onto a
+    known fine position set (the paired encoder layer's positions — spconv's
+    indice_key mechanism becomes an explicit argument).
+    weight (K, Cin, Cout); returns (B, Vf, Cout) on fine positions, sorted.
+    Fine position o receives coarse c with tap = o - (c*s - p) when
+    0 <= tap < k  <=>  c in the candidate window of o."""
+    K = weight.shape[0]
+    ks = np.asarray(
+        (kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size
+    )
+    st = np.asarray((stride,) * 3 if isinstance(stride, int) else stride)
+    pd = np.asarray((padding,) * 3 if isinstance(padding, int) else padding)
+    offs = jnp.asarray(kernel_offsets(kernel_size))
+    lo = jnp.asarray([-(k // 2) if k % 2 == 1 else 0 for k in ks], jnp.int32)
+    st_j = jnp.asarray(st, jnp.int32)
+    pd_j = jnp.asarray(pd, jnp.int32)
+    sentinel = int(np.prod(coarse_grid))
+
+    def single(cf, cc, cv, fc, fv):
+        ckeys = linearize(cc, coarse_grid, cv)
+        taps = offs - lo[None, :]                          # (K, 3) in [0, k)
+        # fine o gets coarse c where o = c*s - p + tap  =>  c = (o + p - tap)/s
+        num = fc[None, :, :] + pd_j - taps[:, None, :]     # (K, Vf, 3)
+        c_cand = num // st_j
+        exact = jnp.all(c_cand * st_j == num, axis=-1)     # (K, Vf)
+        qk = linearize(c_cand, coarse_grid, fv[None, :] & exact)
+        idx, found = _lookup(ckeys, qk, sentinel)
+        gathered = jnp.where(
+            (found & fv[None, :] & exact)[..., None], cf[idx], 0.0
+        )
+        out = jnp.einsum(
+            "kvi,kio->vo", gathered, weight, preferred_element_type=cf.dtype
+        )
+        return jnp.where(fv[:, None], out, 0.0)
+
+    return jax.vmap(single)(
+        coarse_features, coarse_coords, coarse_valid, fine_coords, fine_valid
+    )
+
+
+def sparse_to_dense(features, coords, valid, grid):
+    """(B, V, C) sparse -> (B, gz, gy, gx, C) dense (spconv .dense())."""
+    gz, gy, gx = grid
+
+    def single(f, c, v):
+        dense = jnp.zeros((gz, gy, gx, f.shape[-1]), f.dtype)
+        zz = jnp.where(v, c[:, 0], gz)
+        return dense.at[zz, c[:, 1], c[:, 2]].set(f, mode="drop")
+
+    return jax.vmap(single)(features, coords, valid)

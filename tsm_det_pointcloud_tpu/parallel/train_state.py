@@ -14,16 +14,16 @@ mesh axis_name (flax BatchNorm(axis_name="data")) when configs ask for
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class TrainState:
     params: Any
     batch_stats: Any
