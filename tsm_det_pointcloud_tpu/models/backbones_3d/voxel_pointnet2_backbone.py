@@ -1,0 +1,571 @@
+"""Voxel-hash PointNet++ backbones — the TSM model core (flax).
+
+Parity targets:
+  * `VoxelPointnetSAModuleFSMSG(Distillation)` — pcdet/ops/pointnet2/
+    pointnet2_batch/pointnet2_modules.py:448-1038,1092-1700: fusion sampling,
+    voxel_query grouping against a voxel-centroid sparse tensor, point-MLP +
+    position-MLP fusion, "multi-scale feature approximation" (a 3-level
+    sparse U-Net over the centroid tensor gated by per-voxel confidence),
+    per-voxel 3-class confidence driving the next layer's s-fps.
+  * `VoxelPointNet2FSMSG` / `VoxelPointNet2FSMSGDistillation` —
+    pcdet/models/backbones_3d/pointnet2_backbone.py:367-617,619-925.
+
+TPU design notes:
+  * Everything is batched fixed-capacity: points (B, N, 3) + masks; the
+    centroid sparse tensor is a SparseTensor (B, V, C) on the FACTOR-strided
+    voxel grid (repository_info semantics: voxel_size = base * FACTOR,
+    data_processor.py:116-125), rows sorted by linearized key.
+  * voxel_query is a masked (M, V) distance search (ops/voxel.py) — the
+    CUDA hash-walk is an accel structure for SIMT; the dense masked grid
+    rides the VPU and feeds one MXU einsum per MLP layer.
+  * The teacher branch of the distillation backbone is wrapped in
+    stop_gradient (replaces `torch.no_grad` + name-prefix param freezing,
+    train.py:117-122); parameter partitioning for the optimizer lives in
+    parallel/train_state.py.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import grouping, sampling, spconv as sp_ops, topk
+from ...ops.voxel import voxel_centroids, voxel_query
+from .pointnet2_modules import SharedMLP
+from .spconv_backbone import (
+    SparseConv,
+    SparseInverseConv,
+    SparseTensor,
+    SubMConv,
+)
+
+
+def factored_grid(point_cloud_range, voxel_size):
+    """(gz, gy, gx) ints for the already-FACTOR-multiplied voxel size."""
+    pc = np.asarray(point_cloud_range, np.float64)
+    vs = np.asarray(voxel_size, np.float64)
+    g = np.round((pc[3:6] - pc[0:3]) / vs).astype(np.int64)
+    return int(g[2]), int(g[1]), int(g[0])
+
+
+def points_to_voxel_coords(xyz, point_cloud_range, voxel_size):
+    """(..., 3) xyz -> int32 zyx coords on the factored grid."""
+    pc = jnp.asarray(point_cloud_range[:3], xyz.dtype)
+    vs = jnp.asarray(voxel_size, xyz.dtype)
+    cxyz = jnp.floor((xyz - pc) / vs).astype(jnp.int32)
+    return cxyz[..., ::-1]
+
+
+class _MLPNoFinalRelu(nn.Module):
+    """Dense+BN(+ReLU) stack whose LAST layer has BN but no ReLU
+    (the reference's point/pos MLP tails before the fused add)."""
+    channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, training=False, mask=None):
+        n = len(self.channels)
+        for i, c in enumerate(self.channels):
+            x = nn.Dense(c, use_bias=False, name=f"fc{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                epsilon=1e-3, name=f"bn{i}",
+            )(x, mask=mask)
+            if i < n - 1:
+                x = nn.relu(x)
+        return x
+
+
+class VoxelSAModule(nn.Module):
+    """One voxel-hash SA layer; behavior switches on sa_layer_idx:
+       0        : ball-query SA over raw points + build centroid sp tensor
+       1..2     : voxel-query SA over centroids + U-Net sp update
+       >=3 (VSA): voxel-query aggregation only (head usage, new_xyz given)
+    """
+    sa_layer_idx: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    query_ranges: Sequence[Sequence[int]] = None
+    npoint_list: Sequence[int] = None
+    sample_range_list: Sequence[Sequence[int]] = None
+    sample_method_list: Sequence[str] = None
+    dilated_group: bool = False
+    aggregation_mlp: Sequence[int] = None
+    confidence_mlp: Sequence[int] = None
+    sp_channels: Sequence[int] = None      # (in, out) for the sp update conv
+    num_class: int = 3
+    weight_gamma: float = 1.0
+    voxel_size: Sequence[float] = None      # factored (base * FACTOR)
+    point_cloud_range: Sequence[float] = None
+    grid: tuple = None                      # (gz, gy, gx) factored
+    voxel_capacity: int = 4096
+
+    def _sample(self, xyz, features, scores_point, valid):
+        out = []
+        for npoint, (lo, hi), method in zip(
+            self.npoint_list, self.sample_range_list, self.sample_method_list
+        ):
+            sub_xyz = xyz[:, lo:hi]
+            sub_valid = valid[:, lo:hi]
+            if method in ("d-fps", "D-FPS"):
+                if self.sa_layer_idx == 0:
+                    idx = sampling.furthest_point_sample(sub_xyz, npoint, sub_valid)
+                else:
+                    # layers >0 reuse the previous ordering: take-first-N
+                    # (reference behavior, pointnet2_modules.py:1161-1165)
+                    idx = jnp.broadcast_to(
+                        jnp.arange(npoint, dtype=jnp.int32)[None],
+                        (xyz.shape[0], npoint),
+                    )
+            elif method in ("f-fps", "F-FPS"):
+                feats = features[:, lo:hi]
+                d_xyz = jnp.sum(
+                    (sub_xyz[:, :, None, :] - sub_xyz[:, None, :, :]) ** 2, -1
+                )
+                d_f = jnp.sum(
+                    (feats[:, :, None, :] - feats[:, None, :, :]) ** 2, -1
+                )
+                idx = sampling.furthest_point_sample_matrix(
+                    d_xyz + self.weight_gamma * d_f, npoint, sub_valid
+                )
+            elif method in ("s-fps", "S-FPS"):
+                w = jax.nn.sigmoid(scores_point[:, lo:hi]) ** self.weight_gamma
+                idx = sampling.furthest_point_sample_weights(
+                    sub_xyz, w, npoint, sub_valid
+                )
+            elif method == "s-topk":
+                _, idx = topk.top_k(scores_point[:, lo:hi], npoint)
+            else:
+                raise NotImplementedError(method)
+            out.append(idx + lo)
+        return jnp.concatenate(out, axis=1)
+
+    @nn.compact
+    def __call__(self, xyz, features, valid, scores_voxel=None,
+                 point_slot=None, sp=None, centroid_xyz=None, new_xyz=None,
+                 training=False):
+        B = xyz.shape[0]
+
+        # ---- per-point scores from per-voxel confidence (prev layer) ----
+        scores_point = None
+        ori_scores_voxel = None
+        if scores_voxel is not None:
+            smax = scores_voxel.max(axis=-1)                     # (B, V)
+            ori_scores_voxel = jax.nn.sigmoid(smax)[..., None]   # (B, V, 1)
+            if point_slot is not None:
+                slot_ok = point_slot >= 0
+                gathered = jnp.take_along_axis(
+                    smax, jnp.clip(point_slot, 0, smax.shape[1] - 1), axis=1
+                )
+                scores_point = jnp.where(gathered * 0 == 0, gathered, 0.0)
+                scores_point = jnp.where(slot_ok, gathered, -1e9)
+
+        # ---- sampling ----
+        new_valid = None
+        if new_xyz is None:
+            idx_s = self._sample(xyz, features, scores_point, valid)
+            new_xyz = sampling.gather_points(xyz, idx_s)
+            new_valid = jnp.take_along_axis(valid, idx_s, axis=1)
+        else:
+            new_valid = jnp.ones(new_xyz.shape[:2], bool)
+
+        # ---- grouping + per-scale MLPs ----
+        outs = []
+        if sp is None:
+            # layer 0: ball query over raw points, xyz-augmented MLPs
+            for i, (r, ns, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)
+            ):
+                if self.dilated_group and i > 0:
+                    idx, cnt = grouping.ball_query_dilated(
+                        self.radii[i - 1], r, ns, xyz, new_xyz, valid
+                    )
+                else:
+                    idx, cnt = grouping.ball_query(r, ns, xyz, new_xyz, valid)
+                g_xyz = grouping.group_points(xyz, idx) - new_xyz[:, :, None, :]
+                slot_ok = (
+                    (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
+                    & new_valid[:, :, None]
+                )
+                parts = [g_xyz]
+                if features is not None:
+                    parts.append(grouping.group_points(features, idx))
+                grouped = jnp.where(
+                    slot_ok[..., None], jnp.concatenate(parts, -1), 0.0
+                )
+                h = SharedMLP(mlp, name=f"point_mlp{i}")(
+                    grouped, training, mask=slot_ok[..., None]
+                )
+                h = jnp.where(slot_ok[..., None], h, -1e9).max(axis=2)
+                h = jnp.where(
+                    new_valid[..., None] & (cnt[..., None] > 0), h, 0.0
+                )
+                outs.append(h)
+        else:
+            # layer >0: voxel query against the centroid sparse tensor
+            new_coords = points_to_voxel_coords(
+                new_xyz, self.point_cloud_range, self.voxel_size
+            )
+            for i, (r, ns, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)
+            ):
+                min_r = self.radii[i - 1] if (self.dilated_group and i > 0) else 0.0
+                qr = tuple(int(v) for v in self.query_ranges[i])
+
+                def one(nx, nc, cx, scoords, svalid, sfeat):
+                    return voxel_query(
+                        nx, nc, cx, scoords, svalid,
+                        radius=float(r), nsample=int(ns), query_range=qr,
+                        min_radius=float(min_r),
+                    )
+
+                idx, cnt = jax.vmap(one)(
+                    new_xyz, new_coords, centroid_xyz, sp.coords, sp.valid,
+                    sp.features,
+                )
+                slot_ok = (
+                    (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
+                    & new_valid[:, :, None]
+                )
+                g_feat = grouping.group_points(sp.features, idx)
+                g_xyz = grouping.group_points(centroid_xyz, idx) - new_xyz[:, :, None, :]
+                g_feat = jnp.where(slot_ok[..., None], g_feat, 0.0)
+                g_xyz = jnp.where(slot_ok[..., None], g_xyz, 0.0)
+                hf = _MLPNoFinalRelu(mlp, name=f"point_mlp{i}")(
+                    g_feat, training, mask=slot_ok[..., None]
+                )
+                c_last = mlp[-1]
+                hx = _MLPNoFinalRelu(
+                    [c_last // 2, c_last], name=f"pos_mlp{i}"
+                )(g_xyz, training, mask=slot_ok[..., None])
+                h = nn.relu(hf + hx)
+                h = jnp.where(slot_ok[..., None], h, -1e9).max(axis=2)
+                h = jnp.where(
+                    new_valid[..., None] & (cnt[..., None] > 0), h, 0.0
+                )
+                outs.append(h)
+
+        new_features = jnp.concatenate(outs, -1)
+        if self.aggregation_mlp:
+            new_features = SharedMLP(self.aggregation_mlp, name="aggregation")(
+                new_features, training, mask=new_valid[..., None]
+            )
+            new_features = jnp.where(new_valid[..., None], new_features, 0.0)
+
+        # ---- sparse-tensor construction / update ----
+        new_point_slot = None
+        new_centroid_xyz = centroid_xyz
+        sp_out = sp
+        if self.sa_layer_idx == 0:
+            coords = points_to_voxel_coords(
+                new_xyz, self.point_cloud_range, self.voxel_size
+            )
+            feats_in = jnp.concatenate([new_xyz, new_features], -1)
+
+            def build(c, f, v):
+                return voxel_centroids(
+                    c, f, v, num_voxels=self.voxel_capacity,
+                    grid_dims=self.grid,
+                )
+
+            out = jax.vmap(build)(coords, feats_in, new_valid)
+            new_centroid_xyz = out["centroids"][..., :3]
+            sp_out = SparseTensor(
+                features=out["centroids"][..., 3:],
+                coords=out["coordinates"],
+                valid=out["valid"],
+                grid=self.grid, stride=1,
+            )
+            new_point_slot = out["point_slot"]
+        elif 0 < self.sa_layer_idx < 3:
+            # scatter new point features onto the existing sp rows
+            coords = points_to_voxel_coords(
+                new_xyz, self.point_cloud_range, self.voxel_size
+            )
+
+            def build(c, f, v):
+                return voxel_centroids(
+                    c, f, v, num_voxels=new_xyz.shape[1],
+                    grid_dims=self.grid,
+                )
+
+            upd = jax.vmap(build)(coords, new_features, new_valid)
+
+            gz, gy, gx = self.grid
+            sentinel = gz * gy * gx
+
+            def align(sp_coords, sp_valid, u_coords, u_valid, u_feats):
+                sp_keys = sp_ops.linearize(sp_coords, self.grid, sp_valid)
+                u_keys = sp_ops.linearize(u_coords, self.grid, u_valid)
+                pos = jnp.searchsorted(sp_keys, u_keys)
+                pos = jnp.clip(pos, 0, sp_keys.shape[0] - 1)
+                hit = (sp_keys[pos] == u_keys) & (u_keys < sentinel)
+                src = jnp.zeros(
+                    (sp_coords.shape[0], u_feats.shape[-1]), u_feats.dtype
+                )
+                return src.at[jnp.where(hit, pos, sp_coords.shape[0])].set(
+                    u_feats, mode="drop"
+                )
+
+            source = jax.vmap(align)(
+                sp.coords, sp.valid, upd["coordinates"], upd["valid"],
+                upd["centroids"],
+            )
+            src_st = SparseTensor(source, sp.coords, sp.valid, sp.grid, sp.stride)
+
+            n_out = new_features.shape[-1]
+            n_en = n_out // 2
+            cap = self.voxel_capacity
+            sp4x = SubMConv(n_en, kernel_size=1, name="spconv4x")(src_st, training)
+            sp8x = SparseConv(
+                n_en, out_capacity=cap, name="spconv8x"
+            )(sp4x, training)
+            sp16x = SparseConv(
+                n_en * 2, out_capacity=cap, name="spconv16x"
+            )(sp8x, training)
+            h16 = SubMConv(n_en * 2, name="inv16x_a")(sp16x, training)
+            h16 = SubMConv(n_en * 2, name="inv16x_b")(h16, training)
+            h16 = h16._replace(features=h16.features + sp16x.features)
+            h8 = SparseInverseConv(n_en, name="inv8x")(h16, sp8x, training)
+            h8 = SubMConv(n_en, name="inv8x_a")(h8, training)
+            h8 = SubMConv(n_en, name="inv8x_b")(h8, training)
+            h8 = h8._replace(features=h8.features + sp8x.features)
+            h4 = SparseInverseConv(n_en, name="inv4x")(h8, sp4x, training)
+            h4 = SubMConv(n_en, name="inv4x_a")(h4, training)
+            h4 = SubMConv(n_en, name="inv4x_b")(h4, training)
+            h4 = h4._replace(features=h4.features + sp4x.features)
+            dest = SubMConv(
+                n_out, kernel_size=1, use_relu=False, name="spconv_out"
+            )(h4, training)
+
+            sp_upd = SubMConv(
+                int(self.sp_channels[-1]), kernel_size=1, use_relu=False,
+                name="sp_update",
+            )(sp, training)
+            fused = nn.relu(
+                sp_upd.features + ori_scores_voxel * dest.features
+            )
+            fused = jnp.where(sp.valid[..., None], fused, 0.0)
+            sp_out = sp._replace(features=fused)
+
+            # the new (sampled) points' voxel slots in the sp row order
+            def slots(sp_coords, sp_valid, c, v):
+                sp_keys = sp_ops.linearize(sp_coords, self.grid, sp_valid)
+                keys = sp_ops.linearize(c, self.grid, v)
+                pos = jnp.clip(
+                    jnp.searchsorted(sp_keys, keys), 0, sp_keys.shape[0] - 1
+                )
+                hit = (sp_keys[pos] == keys) & (keys < sentinel)
+                return jnp.where(hit, pos, -1).astype(jnp.int32)
+
+            new_point_slot = jax.vmap(slots)(
+                sp.coords, sp.valid, coords, new_valid
+            )
+
+        # ---- per-voxel confidence ----
+        new_scores_voxel = None
+        if self.confidence_mlp:
+            h = SharedMLP(self.confidence_mlp, name="confidence")(
+                sp_out.features, training, mask=sp_out.valid[..., None]
+            )
+            logits = nn.Dense(
+                self.num_class, name="confidence_out",
+                bias_init=nn.initializers.constant(-float(np.log(99.0))),
+            )(h)
+            new_scores_voxel = jnp.where(
+                sp_out.valid[..., None], logits, -1e9
+            )
+
+        return dict(
+            new_xyz=new_xyz, new_features=new_features, new_valid=new_valid,
+            scores_voxel=new_scores_voxel, sp=sp_out,
+            centroid_xyz=new_centroid_xyz, point_slot=new_point_slot,
+        )
+
+
+def _sa_kwargs(cfg, k, channel_in, voxel_size, point_cloud_range, grid,
+               num_class, capacity):
+    """Shared cfg->kwargs mapping for one SA layer."""
+    agg = cfg.get("AGGREGATION_MLPS")
+    conf = cfg.get("CONFIDENCE_MLPS")
+    return dict(
+        sa_layer_idx=k,
+        npoint_list=[int(n) for n in cfg["NPOINT_LIST"][k]],
+        sample_range_list=[list(r) for r in cfg["SAMPLE_RANGE_LIST"][k]],
+        sample_method_list=list(cfg["SAMPLE_METHOD_LIST"][k]),
+        radii=[float(r) for r in cfg["RADIUS"][k]],
+        nsamples=[int(n) for n in cfg["NSAMPLE"][k]],
+        mlps=[list(m) for m in cfg["MLPS"][k]],
+        query_ranges=(
+            [list(q) for q in cfg["QUERY_RANGE"][k]]
+            if cfg.get("QUERY_RANGE") else None
+        ),
+        dilated_group=bool(cfg.get("DILATED_RADIUS_GROUP", False)),
+        aggregation_mlp=list(agg[k]) if agg and agg[k] else None,
+        confidence_mlp=list(conf[k]) if conf and conf[k] else None,
+        sp_channels=None,  # filled by caller for k>0
+        num_class=num_class,
+        weight_gamma=float(cfg.get("WEIGHT_GAMMA", 1.0)),
+        voxel_size=tuple(voxel_size),
+        point_cloud_range=tuple(point_cloud_range),
+        grid=grid,
+        voxel_capacity=capacity,
+    )
+
+
+class _VoxelFSBase(nn.Module):
+    """Shared plumbing: run a list of SA-layer configs sequentially."""
+    model_cfg: dict
+    input_channels: int
+    meta: object
+
+    def _run_layers(self, cfg_key, batch_dict, training, n_layers=None):
+        cfg = self.model_cfg[cfg_key]
+        voxel_cfg = self.model_cfg["VOXEL_CONFIG"]
+        base_vs = np.asarray(voxel_cfg["VOXEL_SIZE"], np.float64)
+        factor = float(self.model_cfg.get("FACTOR", 4))
+        vs = tuple(base_vs * factor)
+        pcr = tuple(voxel_cfg["POINT_CLOUD_RANGE"])
+        grid = factored_grid(pcr, vs)
+        num_class = int(cfg.get("NUM_CLASS", 3))
+
+        points = batch_dict["points"]
+        xyz = points[..., :3]
+        feats = points[..., 3:] if points.shape[-1] > 3 else None
+        valid = batch_dict["points_mask"]
+
+        state = dict(
+            xyz=xyz, features=feats, valid=valid, scores_voxel=None,
+            point_slot=None, sp=None, centroid_xyz=None,
+        )
+        layers = len(cfg["NPOINT_LIST"]) if n_layers is None else n_layers
+        outs = []
+        capacity = sum(int(n) for n in cfg["NPOINT_LIST"][0])
+        prefix = "s_sa" if cfg_key == "S_SA_CONFIG" else "sa"
+        sp_ch_in = None
+        for k in range(layers):
+            kw = _sa_kwargs(cfg, k, None, vs, pcr, grid, num_class, capacity)
+            if k > 0:
+                agg = cfg.get("AGGREGATION_MLPS")
+                out_ch = int(agg[k][-1]) if agg and agg[k] else int(
+                    cfg["MLPS"][k][-1][-1]
+                )
+                kw["sp_channels"] = (sp_ch_in, out_ch)
+            r = VoxelSAModule(**kw, name=f"{prefix}{k}")(
+                state["xyz"], state["features"], state["valid"],
+                scores_voxel=state["scores_voxel"],
+                point_slot=state["point_slot"], sp=state["sp"],
+                centroid_xyz=state["centroid_xyz"], training=training,
+            )
+            state = dict(
+                xyz=r["new_xyz"], features=r["new_features"],
+                valid=r["new_valid"], scores_voxel=r["scores_voxel"],
+                point_slot=r["point_slot"], sp=r["sp"],
+                centroid_xyz=r["centroid_xyz"],
+            )
+            agg0 = cfg.get("AGGREGATION_MLPS")
+            sp_ch_in = int(agg0[0][-1]) if agg0 and agg0[0] else int(
+                cfg["MLPS"][0][-1][-1]
+            )
+            outs.append(r)
+        return outs
+
+
+class VoxelPointNet2FSMSG(_VoxelFSBase):
+    """Teacher-training backbone (parity: pointnet2_backbone.py:367-617)."""
+
+    @property
+    def num_point_features(self):
+        agg = self.model_cfg["SA_CONFIG"].get("AGGREGATION_MLPS")
+        return int(agg[-1][-1])
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        outs = self._run_layers("SA_CONFIG", batch_dict, training)
+        last = outs[-1]
+        batch_dict["point_features"] = last["new_features"]
+        batch_dict["point_coords"] = last["new_xyz"]
+        batch_dict["point_valid"] = last["new_valid"]
+        batch_dict["point_scores"] = last["scores_voxel"]
+        batch_dict["last_sp_tensor"] = last["sp"]
+        batch_dict["last_centroid_xyz"] = last["centroid_xyz"]
+        batch_dict["last_point_slot"] = last["point_slot"]
+        batch_dict["statistic_feature"] = last["sp"].features
+        # SASA pyramid: per-layer centroid coords + per-voxel scores
+        batch_dict["point_coords_list"] = [o["centroid_xyz"] for o in outs]
+        batch_dict["point_scores_list"] = [o["scores_voxel"] for o in outs]
+        batch_dict["point_valid_list"] = [o["sp"].valid for o in outs]
+        return batch_dict
+
+
+class VoxelPointNet2FSMSGDistillation(_VoxelFSBase):
+    """Frozen-teacher / trainable-student backbone
+    (parity: pointnet2_backbone.py:619-925). Teacher layers run under
+    stop_gradient; at eval only teacher layer 0 runs (its outputs feed the
+    student layer, :832-835,860-864)."""
+
+    @property
+    def num_point_features(self):
+        agg = self.model_cfg["S_SA_CONFIG"].get("AGGREGATION_MLPS")
+        return int(agg[-1][-1])
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        n_teacher = None if training else len(
+            self.model_cfg["SA_CONFIG"]["NPOINT_LIST"]
+        ) - 1
+        t_outs = self._run_layers(
+            "SA_CONFIG", batch_dict, training, n_layers=n_teacher
+        )
+        t_outs = jax.tree_util.tree_map(jax.lax.stop_gradient, t_outs)
+
+        # student layer consumes teacher layer-0 outputs
+        cfg = self.model_cfg["S_SA_CONFIG"]
+        voxel_cfg = self.model_cfg["VOXEL_CONFIG"]
+        base_vs = np.asarray(voxel_cfg["VOXEL_SIZE"], np.float64)
+        factor = float(self.model_cfg.get("FACTOR", 4))
+        vs = tuple(base_vs * factor)
+        pcr = tuple(voxel_cfg["POINT_CLOUD_RANGE"])
+        grid = factored_grid(pcr, vs)
+        t0 = t_outs[0]
+        capacity = sum(int(n) for n in cfg["NPOINT_LIST"][0])
+        kw = _sa_kwargs(cfg, 1, None, vs, pcr, grid, 3, capacity)
+        agg = cfg.get("AGGREGATION_MLPS")
+        sp_in = int(
+            self.model_cfg["SA_CONFIG"]["AGGREGATION_MLPS"][0][-1]
+        )
+        kw["sp_channels"] = (sp_in, int(agg[1][-1]))
+        s_out = VoxelSAModule(**kw, name="s_sa1")(
+            t0["new_xyz"], t0["new_features"], t0["new_valid"],
+            scores_voxel=t0["scores_voxel"], point_slot=t0["point_slot"],
+            sp=t0["sp"], centroid_xyz=t0["centroid_xyz"], training=training,
+        )
+
+        if training:
+            tl = t_outs[-1]
+            batch_dict["point_features"] = tl["new_features"]
+            batch_dict["point_coords"] = tl["new_xyz"]
+            batch_dict["point_valid"] = tl["new_valid"]
+            batch_dict["point_scores"] = tl["scores_voxel"]
+            batch_dict["last_sp_tensor"] = tl["sp"]
+            batch_dict["last_centroid_xyz"] = tl["centroid_xyz"]
+            batch_dict["last_point_slot"] = tl["point_slot"]
+            batch_dict["statistic_feature"] = tl["sp"].features
+
+        batch_dict["s_point_features"] = s_out["new_features"]
+        batch_dict["s_point_coords"] = s_out["new_xyz"]
+        batch_dict["s_point_valid"] = s_out["new_valid"]
+        batch_dict["s_point_scores"] = s_out["scores_voxel"]
+        batch_dict["s_last_sp_tensor"] = s_out["sp"]
+        batch_dict["s_last_centroid_xyz"] = s_out["centroid_xyz"]
+        batch_dict["s_last_point_slot"] = s_out["point_slot"]
+        batch_dict["s_statistic_feature"] = s_out["sp"].features
+
+        outs = t_outs + [s_out]
+        batch_dict["point_coords_list"] = [o["centroid_xyz"] for o in outs]
+        batch_dict["point_scores_list"] = [o["scores_voxel"] for o in outs]
+        batch_dict["point_valid_list"] = [o["sp"].valid for o in outs]
+        return batch_dict

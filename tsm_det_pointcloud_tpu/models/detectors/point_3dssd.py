@@ -8,16 +8,6 @@ from .detector3d_template import Detector3DTemplate
 
 class Point3DSSD(Detector3DTemplate):
     def __call__(self, batch_dict, training=False):
-        batch_dict = self.forward_modules(batch_dict, training=training)
-        if training:
-            point_head = self._get_module("point_head")
-            loss, tb = point_head.loss(batch_dict)
-            batch_dict["loss"] = loss
-            batch_dict["tb_dict"] = tb
-        return batch_dict
-
-    def _get_module(self, role):
-        for m, (r, _name) in zip(self.module_list, self._module_infos):
-            if r == role:
-                return m
-        raise KeyError(role)
+        # the point head computes vote/cls/box/sasa losses inline and sets
+        # batch_dict['loss'] / ['tb_dict'] when training
+        return self.forward_modules(batch_dict, training=training)

@@ -3,11 +3,11 @@
 TPU-native replacement for the reference's iou3d_nms_cuda extension
 (ops/iou3d_nms/src/iou3d_nms_kernel.cu: boxes_overlap_kernel,
 boxes_iou_bev_kernel :1-260, nms_kernel :267-313). The CUDA code computes
-convex-polygon intersections by edge-pair crossings + angle sort; here we use
-Sutherland–Hodgman clipping with a fixed 8-vertex buffer, which is branch-free
-and static-shaped, so XLA vectorizes the whole (N, M) pair grid onto the VPU.
-NMS runs as a blocked sequential-suppression loop entirely inside jit — no
-host round-trip (BASELINE.json north-star requirement).
+convex-polygon intersections by edge-pair crossings + angle sort; here the
+intersection area is a Cyrus–Beck boundary integral (no polygon buffers —
+see _pair_intersection_area_grid), pure elementwise math over the (N, M)
+pair grid on the VPU. NMS is a suppression-matrix fixpoint iteration fully
+inside jit — no host round-trip (BASELINE.json north-star requirement).
 
 All functions accept boxes in the (x, y, z, dx, dy, dz, heading) convention.
 """
@@ -21,9 +21,6 @@ import jax.numpy as jnp
 from .boxes import boxes_to_corners_bev
 from .topk import top_k as _safe_top_k
 
-_MAX_VERTS = 8  # 4-gon clipped by 4 half-planes has <= 8 vertices
-_EPS = 1e-8
-
 
 def _cross(o, a, b):
     return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
@@ -31,60 +28,64 @@ def _cross(o, a, b):
     ) * (b[..., 0] - o[..., 0])
 
 
-def _clip_by_edge(poly, cnt, p1, p2):
-    """Clip convex polygon (poly[(8,2)], cnt valid) by the half-plane on the
-    clockwise side of directed edge p1->p2 (our BEV corners wind CW)."""
-    idx = jnp.arange(_MAX_VERTS)
-    nxt_idx = jnp.where(cnt > 0, (idx + 1) % jnp.maximum(cnt, 1), 0)
-    cur = poly
-    nxt = poly[nxt_idx]
+def _pair_intersection_area_grid(ca, cb):
+    """All-pairs convex-quad intersection areas via Cyrus–Beck boundary
+    integrals — ca (N, 4, 2), cb (M, 4, 2) -> (N, M).
 
-    side_cur = _cross(p1, p2, cur)  # <= 0 means inside for CW winding
-    side_nxt = _cross(p1, p2, nxt)
-    in_cur = side_cur <= 0.0
-    in_nxt = side_nxt <= 0.0
-    valid_edge = idx < cnt
+    Area(A∩B) = 0.5 |Σ cross(s, e)| over the directed boundary of A∩B,
+    which is exactly: each edge of A clipped to the inside of B, plus each
+    edge of B clipped to the inside of A (both polygons share winding).
+    Each clip is a 1-D t-interval intersection — pure elementwise math on
+    the (N, M) pair grid. No vertex buffers: the earlier Sutherland–
+    Hodgman form carried (pairs, 8, 2) polygon buffers whose tiny trailing
+    dims padded 64x on TPU tiles and OOM'd HBM at N=M=4096.
 
-    denom = side_cur - side_nxt
-    t = side_cur / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
-    inter = cur + t[:, None] * (nxt - cur)
+    Colinear shared edges are counted once: the A-in-B pass uses h <= +eps
+    while the B-in-A pass uses h <= -eps (strict), so identical boxes give
+    exactly one copy of the shared boundary.
+    """
+    eps = 1e-7
 
-    # per input edge emit: cur (if cur inside), then crossing point (if edge
-    # crosses the clip line). Interleave so output order stays a polygon walk.
-    emit_pts = jnp.stack([cur, inter], axis=1).reshape(2 * _MAX_VERTS, 2)
-    emit_ok = jnp.stack(
-        [valid_edge & in_cur, valid_edge & (in_cur != in_nxt)], axis=1
-    ).reshape(2 * _MAX_VERTS)
+    def directed_sum(src, dst, axes, strict):
+        # src edges live on axes[0] (broadcast over axes[1]); dst halfplanes
+        # the other way. axes: ('n', 'm') or ('m', 'n').
+        if axes == "nm":
+            s_take = lambda v: v[:, None]    # (N,1)
+            d_take = lambda v: v[None, :]    # (1,M)
+        else:
+            s_take = lambda v: v[None, :]    # (1,M)
+            d_take = lambda v: v[:, None]    # (N,1)
+        thr = -eps if strict else eps
+        total = 0.0
+        for i in range(4):
+            px, py = s_take(src[:, i, 0]), s_take(src[:, i, 1])
+            qx, qy = s_take(src[:, (i + 1) % 4, 0]), s_take(src[:, (i + 1) % 4, 1])
+            dx, dy = qx - px, qy - py
+            t_lo = jnp.zeros_like(px + d_take(dst[:, 0, 0]) * 0)
+            t_hi = jnp.ones_like(t_lo)
+            ok = jnp.ones_like(t_lo, bool)
+            for k in range(4):
+                e1x, e1y = d_take(dst[:, k, 0]), d_take(dst[:, k, 1])
+                e2x, e2y = d_take(dst[:, (k + 1) % 4, 0]), d_take(dst[:, (k + 1) % 4, 1])
+                ex, ey = e2x - e1x, e2y - e1y
+                # inside (CW winding) iff h = cross(e, x - e1) <= 0
+                h0 = ex * (py - e1y) - ey * (px - e1x)
+                sh = ex * dy - ey * dx
+                t_bound = (thr - h0) / jnp.where(jnp.abs(sh) < 1e-12, 1e-12, sh)
+                t_hi = jnp.where(sh > 0, jnp.minimum(t_hi, t_bound), t_hi)
+                t_lo = jnp.where(sh < 0, jnp.maximum(t_lo, t_bound), t_lo)
+                ok = ok & jnp.where(jnp.abs(sh) <= 1e-12, h0 <= thr, True)
+            valid = ok & (t_hi > t_lo)
+            sx, sy = px + t_lo * dx, py + t_lo * dy
+            ex_, ey_ = px + t_hi * dx, py + t_hi * dy
+            contrib = 0.5 * (sx * ey_ - ex_ * sy)
+            total = total + jnp.where(valid, contrib, 0.0)
+        return total
 
-    pos = jnp.cumsum(emit_ok) - 1
-    pos = jnp.where(emit_ok, pos, 2 * _MAX_VERTS)  # dropped by mode='drop'
-    new_poly = jnp.zeros((_MAX_VERTS, 2), poly.dtype).at[pos].set(
-        emit_pts, mode="drop"
+    total = directed_sum(ca, cb, "nm", strict=False) + directed_sum(
+        cb, ca, "mn", strict=True
     )
-    new_cnt = jnp.sum(emit_ok)
-    return new_poly, new_cnt
-
-
-def _polygon_area(poly, cnt):
-    idx = jnp.arange(_MAX_VERTS)
-    nxt = poly[jnp.where(cnt > 0, (idx + 1) % jnp.maximum(cnt, 1), 0)]
-    contrib = poly[:, 0] * nxt[:, 1] - nxt[:, 0] * poly[:, 1]
-    contrib = jnp.where(idx < cnt, contrib, 0.0)
-    return jnp.abs(jnp.sum(contrib)) * 0.5
-
-
-def _pair_intersection_area(corners_a, corners_b):
-    """Intersection area of two CW quads (4, 2) x (4, 2) -> scalar."""
-    poly = jnp.zeros((_MAX_VERTS, 2), corners_a.dtype).at[:4].set(corners_a)
-    cnt = jnp.asarray(4, jnp.int32)
-    for k in range(4):
-        p1 = corners_b[k]
-        p2 = corners_b[(k + 1) % 4]
-        poly, cnt = _clip_by_edge(poly, cnt, p1, p2)
-    return _polygon_area(poly, cnt)
-
-
-_pair_area_vv = jax.vmap(jax.vmap(_pair_intersection_area, (None, 0)), (0, None))
+    return jnp.abs(total)
 
 
 def boxes_overlap_bev(boxes_a, boxes_b):
@@ -92,7 +93,7 @@ def boxes_overlap_bev(boxes_a, boxes_b):
     Parity: iou3d_nms_cuda.boxes_overlap_bev_gpu."""
     ca = boxes_to_corners_bev(boxes_a)
     cb = boxes_to_corners_bev(boxes_b)
-    return _pair_area_vv(ca, cb)
+    return _pair_intersection_area_grid(ca, cb)
 
 
 def boxes_iou_bev(boxes_a, boxes_b):
@@ -142,68 +143,56 @@ def boxes_aligned_iou3d(boxes_a, boxes_b):
 # NMS
 # ---------------------------------------------------------------------------
 
-def _iou_row_fn(rotated: bool):
+def _iou_grid_fn(rotated: bool):
+    """(geom_a, areas_a, geom_b, areas_b) -> (Na, Nb) IoU grid."""
     if rotated:
-        def row(corners_i, area_i, corners, areas):
-            inter = jax.vmap(_pair_intersection_area, (None, 0))(corners_i, corners)
-            return inter / jnp.clip(area_i + areas - inter, 1e-6)
+        def grid(ga, aa, gb, ab):
+            inter = _pair_intersection_area_grid(ga, gb)
+            return inter / jnp.clip(aa[:, None] + ab[None, :] - inter, 1e-6)
     else:
-        def row(aabb_i, area_i, aabbs, areas):
-            inter = jnp.clip(
-                jnp.minimum(aabb_i[2:], aabbs[:, 2:])
-                - jnp.maximum(aabb_i[:2], aabbs[:, :2]),
+        def grid(ga, aa, gb, ab):
+            iw = jnp.clip(
+                jnp.minimum(ga[:, None, 2:], gb[None, :, 2:])
+                - jnp.maximum(ga[:, None, :2], gb[None, :, :2]),
                 0.0,
             ).prod(-1)
-            return inter / jnp.clip(area_i + areas - inter, 1e-6)
-    return row
+            return iw / jnp.clip(aa[:, None] + ab[None, :] - iw, 1e-6)
+    return grid
 
 
 @functools.partial(jax.jit, static_argnames=("block", "rotated"))
-def _nms_keep_mask(geom, areas, valid, thresh, block=64, rotated=True):
-    """Sequential-suppression NMS on score-sorted inputs, blocked.
+def _nms_keep_mask(geom, areas, valid, thresh, block=256, rotated=True):
+    """Greedy NMS on score-sorted inputs via suppression-matrix fixpoint.
 
     geom: (N, 4, 2) corners (rotated) or (N, 4) aabb (axis-aligned), sorted by
     score desc with `valid` marking real boxes. Returns (N,) bool keep mask.
-    Blocked form of the O(N^2) suppression: within each block of `block`
-    boxes do the inherently-sequential pass on a (block, block) IoU tile, then
-    suppress all later boxes at once with a (block, N) tile — sequential depth
-    is N but per-step work is trivial except N/block matrix steps.
+
+    Two phases, both embarrassingly parallel (the earlier blocked
+    sequential-suppression loop took ~50 s on the axon TPU backend —
+    long fori_loops of tiny dynamic-slice steps are pathological there):
+      1. build S[j, i] = (IoU(j, i) > thresh) & (j < i) in row chunks;
+      2. iterate keep <- valid & ~any_j(S[j, i] & keep[j]) to fixpoint.
+    Any fixpoint of that map equals the exact greedy result (induction in
+    score order), and iteration from all-valid converges in at most the
+    suppression chain depth (~a few steps for real detections); the
+    while_loop is bounded by N.
     """
     n = geom.shape[0]
-    row = _iou_row_fn(rotated)
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-    if pad:
-        geom = jnp.pad(geom, ((0, pad),) + ((0, 0),) * (geom.ndim - 1))
-        areas = jnp.pad(areas, (0, pad))
-        valid = jnp.pad(valid, (0, pad))
-    np_ = n_blocks * block
-    idx_all = jnp.arange(np_)
+    grid = _iou_grid_fn(rotated)
+    S = grid(geom, areas, geom, areas) > thresh
+    order = jnp.arange(n)
+    S = S & (order[:, None] < order[None, :]) & valid[:, None] & valid[None, :]
 
-    def outer(b, keep):
-        start = b * block
-        blk_geom = jax.lax.dynamic_slice_in_dim(geom, start, block, 0)
-        blk_area = jax.lax.dynamic_slice_in_dim(areas, start, block, 0)
-        # (block, N) IoU of this block against everything
-        iou_blk = jax.vmap(row, (0, 0, None, None))(blk_geom, blk_area, geom, areas)
-        blk_keep = jax.lax.dynamic_slice_in_dim(keep, start, block, 0)
-        iou_local = jax.lax.dynamic_slice(iou_blk, (0, start), (block, block))
+    def cond(c):
+        return c[1]
 
-        # sequential pass inside the block
-        def inner(i, bk):
-            row = jax.lax.dynamic_slice_in_dim(iou_local, i, 1, 0)[0]
-            sup = (row > thresh) & (jnp.arange(block) > i) & bk[i]
-            return bk & ~sup
+    def body(c):
+        keep, _ = c
+        new = valid & ~jnp.any(S & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
 
-        blk_keep = jax.lax.fori_loop(0, block, inner, blk_keep)
-        keep = jax.lax.dynamic_update_slice_in_dim(keep, blk_keep, start, 0)
-        # suppress all later boxes by surviving members of this block
-        sup_later = jnp.any((iou_blk > thresh) & blk_keep[:, None], axis=0)
-        sup_later = sup_later & (idx_all >= start + block)
-        return keep & ~sup_later
-
-    keep = jax.lax.fori_loop(0, n_blocks, outer, valid)
-    return keep[:n]
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+    return keep
 
 
 def nms_bev(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=512,

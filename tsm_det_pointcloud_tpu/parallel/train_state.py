@@ -7,10 +7,15 @@ gradient all-reduce (psum) automatically from the sharding annotations —
 the "pick a mesh, annotate shardings, let XLA insert collectives" recipe.
 Gradients ride the ICI, exactly where DDP's NCCL ring was.
 
+Teacher freezing: the reference freezes params whose 2nd name segment
+doesn't start with s_/S_ (train.py:117-122). Here that's an explicit optax
+mask (`student_mask`) — zero updates for teacher subtrees (their grads are
+already zero via stop_gradient; the mask additionally keeps Adam moments
+and weight decay from touching them).
+
 SyncBatchNorm parity: BatchNorm batch_stats are updated from per-replica
-batches and periodically averaged; cross-replica BN means can be enabled by
-mesh axis_name (flax BatchNorm(axis_name="data")) when configs ask for
---sync_bn.
+batches; cross-replica BN means can be enabled by mesh axis_name
+(flax BatchNorm(axis_name="data")) when configs ask for --sync_bn.
 """
 from __future__ import annotations
 
@@ -20,6 +25,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -29,6 +35,7 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: Any
+    statistics: Any = flax.struct.field(default_factory=dict)
 
 
 def make_mesh(n_devices=None, axis="data"):
@@ -50,48 +57,69 @@ def shard_batch(batch, mesh, axis="data"):
     return {k: put(v) for k, v in batch.items()}
 
 
-def create_train_step(model, tx, mesh=None, axis="data", donate=True):
-    """Returns train_step(state, batch) -> (state, metrics); jit-compiled
-    with replicated state and batch-sharded inputs when a mesh is given."""
+def student_mask(params):
+    """True (trainable) for subtrees whose path has a segment starting with
+    s_ — the student namespace (parity: train.py:117-122 name freezing)."""
 
-    def loss_fn(params, batch_stats, batch):
+    def label(path, _leaf):
+        return any(
+            str(getattr(p, "key", "")).startswith("s_") for p in path
+        )
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def wrap_student_only(tx, params):
+    """optax wrapper that zeroes updates outside the student namespace."""
+    mask = student_mask(params)
+    return optax.chain(
+        tx,
+        optax.masked(
+            optax.set_to_zero(),
+            jax.tree_util.tree_map(lambda m: not m, mask),
+        ),
+    )
+
+
+def create_train_step(model, tx, mesh=None, axis="data", donate=True):
+    """Returns train_step(state, batch) -> (state, metrics); jit-compiled.
+    Handles the mutable batch_stats AND statistics (TSM class-statistic
+    buffers) collections."""
+
+    def loss_fn(params, batch_stats, statistics, batch):
         variables = {"params": params}
+        mutable = ["batch_stats"]
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        if statistics:
+            variables["statistics"] = statistics
+            mutable.append("statistics")
         out, mutated = model.apply(
-            variables, dict(batch), training=True, mutable=["batch_stats"]
+            variables, dict(batch), training=True, mutable=mutable
         )
-        return out["loss"], (mutated.get("batch_stats", batch_stats), out.get("tb_dict", {}))
+        aux = (
+            mutated.get("batch_stats", batch_stats),
+            mutated.get("statistics", statistics),
+            out.get("tb_dict", {}),
+        )
+        return out["loss"], aux
 
     def step_fn(state: TrainState, batch):
-        (loss, (new_bs, tb)), grads = jax.value_and_grad(
+        (loss, (new_bs, new_stats, tb)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
+        )(state.params, state.batch_stats, state.statistics, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        import optax
-
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=new_params, batch_stats=new_bs, opt_state=new_opt,
-            step=state.step + 1,
+            step=state.step + 1, statistics=new_stats,
         )
         metrics = {"loss": loss, **tb}
         return new_state, metrics
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    replicated = NamedSharding(mesh, P())
-    data_sharded = NamedSharding(mesh, P(axis))
 
-    def batch_shardings(batch):
-        return {
-            k: (data_sharded if getattr(v, "ndim", 0) > 0 else None)
-            for k, v in batch.items()
-        }
-
-    return jax.jit(
-        step_fn,
-        donate_argnums=(0,) if donate else (),
-        out_shardings=None,
-    )
+def replicate_state(state, mesh):
+    repl = NamedSharding(mesh, P())
+    return jax.device_put(state, repl)
