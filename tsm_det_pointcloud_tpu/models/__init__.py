@@ -46,8 +46,10 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     backbone2d_registry = {"BaseBEVBackbone": BaseBEVBackbone}
     dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle}
     backbone3d_registry = {}
-    point_head_registry = {}
-    roi_head_registry = {}
+    from .dense_heads.point_head_simple import PointHeadSimple
+    point_head_registry = {"PointHeadSimple": PointHeadSimple}
+    from .roi_heads.pvrcnn_head import PVRCNNHead
+    roi_head_registry = {"PVRCNNHead": PVRCNNHead}
     try:
         from .backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
         backbone3d_registry.update(
@@ -128,6 +130,25 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
             "NUM_BEV_FEATURES", cur_point_features
         )
 
+    cur_pfe_features = None
+    if model_cfg.get("PFE") is not None:
+        # topology slot: after map_to_bev (needs spatial_features), before
+        # backbone_2d (detector3d_template.py:26-29)
+        from .backbones_3d.pfe.voxel_set_abstraction import VoxelSetAbstraction
+
+        m = VoxelSetAbstraction(
+            model_cfg=dict(model_cfg["PFE"]),
+            voxel_size=meta.voxel_size,
+            point_cloud_range=meta.point_cloud_range,
+            num_bev_features=model_cfg.get("MAP_TO_BEV", {}).get(
+                "NUM_BEV_FEATURES", 256
+            ),
+            num_rawpoint_features=meta.num_point_features,
+        )
+        cur_pfe_features = m.num_point_features
+        modules.append(m)
+        infos.append(("pfe", model_cfg["PFE"]["NAME"]))
+
     if model_cfg.get("BACKBONE_2D") is not None:
         m = backbone2d_registry[model_cfg["BACKBONE_2D"]["NAME"]](
             model_cfg=dict(model_cfg["BACKBONE_2D"]),
@@ -139,7 +160,7 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
 
     if model_cfg.get("DENSE_HEAD") is not None:
         name = model_cfg["DENSE_HEAD"]["NAME"]
-        m = dense_head_registry[name](
+        kwargs = dict(
             model_cfg=dict(model_cfg["DENSE_HEAD"]),
             input_channels=cur_bev_channels,
             num_class=num_class,
@@ -147,6 +168,11 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
             grid_size=meta.grid_size,
             point_cloud_range=meta.point_cloud_range,
         )
+        if name == "CenterHead":
+            kwargs["voxel_size"] = meta.voxel_size
+        elif model_cfg.get("ROI_HEAD") is not None:
+            kwargs["predict_boxes_when_training"] = True
+        m = dense_head_registry[name](**kwargs)
         modules.append(m)
         infos.append(("dense_head", name))
 
@@ -159,6 +185,16 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         )
         modules.append(m)
         infos.append(("point_head", name))
+
+    if model_cfg.get("ROI_HEAD") is not None:
+        name = model_cfg["ROI_HEAD"]["NAME"]
+        m = roi_head_registry[name](
+            model_cfg=dict(model_cfg["ROI_HEAD"]),
+            input_channels=cur_pfe_features or 128,
+            num_class=num_class,
+        )
+        modules.append(m)
+        infos.append(("roi_head", name))
 
     return modules, infos
 

@@ -5,13 +5,17 @@ from .detector3d_template import DatasetMeta, Detector3DTemplate
 from .pointpillar import PointPillar
 from .second_net import SECONDNet
 from .point_3dssd import Point3DSSD
+from .centerpoint import CenterPoint
+from .pv_rcnn import PVRCNN
 
 __all__ = {
+    "PVRCNN": PVRCNN,
     "Detector3DTemplate": Detector3DTemplate,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,
     "3DSSD": Point3DSSD,
     "Point3DSSD": Point3DSSD,
+    "CenterPoint": CenterPoint,
 }
 
 

@@ -89,9 +89,14 @@ class Detector3DTemplate(nn.Module):
         if not batch_dict.get("cls_preds_normalized", False):
             cls_preds = jax.nn.sigmoid(cls_preds)
 
-        def single(cls_p, box_p):
+        roi_labels = batch_dict.get("roi_labels")  # two-stage class labels
+
+        def single(cls_p, box_p, given_labels=None):
             max_scores = cls_p.max(axis=-1)
-            labels = cls_p.argmax(axis=-1).astype(jnp.int32) + 1
+            if given_labels is not None:
+                labels = given_labels  # (parity: has_class_labels path :246)
+            else:
+                labels = cls_p.argmax(axis=-1).astype(jnp.int32) + 1
             if isinstance(score_thresh, (list, tuple)):
                 idx, cnt, scores = model_nms_utils.multi_thresh_nms(
                     max_scores, box_p[:, :7], labels, nms_cfg,
@@ -110,12 +115,16 @@ class Detector3DTemplate(nn.Module):
                 cnt,
             )
 
-        # lax.map (not vmap): per-sample NMS keeps the polygon-clip working
-        # set at one sample's footprint; vmap over batch 16 multiplies the
-        # (block, PRE_MAX, 8, 2) clip buffers into tens of GB.
-        boxes, scores, labels, counts = jax.lax.map(
-            lambda args: single(*args), (cls_preds, box_preds)
-        )
+        # lax.map (not vmap): per-sample NMS keeps the pair-grid working set
+        # at one sample's footprint instead of batch x PRE_MAX^2.
+        if roi_labels is not None:
+            boxes, scores, labels, counts = jax.lax.map(
+                lambda args: single(*args), (cls_preds, box_preds, roi_labels)
+            )
+        else:
+            boxes, scores, labels, counts = jax.lax.map(
+                lambda args: single(*args), (cls_preds, box_preds)
+            )
         pred = {
             "pred_boxes": boxes, "pred_scores": scores,
             "pred_labels": labels, "count": counts,
