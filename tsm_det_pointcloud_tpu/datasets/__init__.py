@@ -14,10 +14,12 @@ import numpy as np
 
 from .dataset import DatasetTemplate
 from .kitti.kitti_dataset import KittiDataset
+from .waymo.waymo_dataset import WaymoDataset
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
     "KittiDataset": KittiDataset,
+    "WaymoDataset": WaymoDataset,
 }
 
 

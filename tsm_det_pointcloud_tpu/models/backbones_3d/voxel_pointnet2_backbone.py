@@ -520,7 +520,14 @@ class VoxelPointNet2FSMSGDistillation(_VoxelFSBase):
         t_outs = self._run_layers(
             "SA_CONFIG", batch_dict, training, n_layers=n_teacher
         )
-        t_outs = jax.tree_util.tree_map(jax.lax.stop_gradient, t_outs)
+        # stop_gradient on array leaves only — SparseTensor.grid/stride are
+        # static python ints that must NOT become tracers (subm_conv3d needs
+        # them concrete for sentinel/shape computation)
+        t_outs = jax.tree_util.tree_map(
+            lambda x: jax.lax.stop_gradient(x)
+            if isinstance(x, jnp.ndarray) else x,
+            t_outs,
+        )
 
         # student layer consumes teacher layer-0 outputs
         cfg = self.model_cfg["S_SA_CONFIG"]

@@ -7,9 +7,13 @@ from .second_net import SECONDNet
 from .point_3dssd import Point3DSSD
 from .centerpoint import CenterPoint
 from .pv_rcnn import PVRCNN
+from .two_stage import PartA2Net, PointRCNN, VoxelRCNN
 
 __all__ = {
     "PVRCNN": PVRCNN,
+    "PointRCNN": PointRCNN,
+    "VoxelRCNN": VoxelRCNN,
+    "PartA2Net": PartA2Net,
     "Detector3DTemplate": Detector3DTemplate,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,
