@@ -48,10 +48,13 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     backbone3d_registry = {}
     from .dense_heads.point_head_box import PointHeadBox
     from .dense_heads.point_head_simple import PointHeadSimple
+    from .dense_heads.point_intra_part_head import PointIntraPartOffsetHead
     point_head_registry = {
         "PointHeadSimple": PointHeadSimple,
         "PointHeadBox": PointHeadBox,
+        "PointIntraPartOffsetHead": PointIntraPartOffsetHead,
     }
+    from .roi_heads.partA2_head import PartA2FCHead
     from .roi_heads.pointrcnn_head import PointRCNNHead
     from .roi_heads.pvrcnn_head import PVRCNNHead
     from .roi_heads.voxelrcnn_head import VoxelRCNNHead
@@ -59,6 +62,7 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         "PVRCNNHead": PVRCNNHead,
         "PointRCNNHead": PointRCNNHead,
         "VoxelRCNNHead": VoxelRCNNHead,
+        "PartA2FCHead": PartA2FCHead,
     }
     try:
         from .backbones_3d.spconv_unet import UNetV2
