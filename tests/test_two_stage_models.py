@@ -220,3 +220,31 @@ def test_unetv2_backbone():
     assert out["point_features"].shape == (2, 256, 16)
     assert out["encoded_spconv_tensor"].shape[0] == 2
     assert np.isfinite(np.asarray(out["point_features"])).all()
+
+
+def test_secondnet_iou_e2e():
+    cfg = voxelrcnn_cfg()
+    cfg["NAME"] = "SECONDNetIoU"
+    cfg["ROI_HEAD"] = EDict({
+        "NAME": "SECONDHead",
+        "ROI_GRID_POOL": {"GRID_SIZE": 3},
+        "SHARED_FC": [32], "IOU_FC": [16],
+        "IOU_WEIGHT": 0.5,
+        "NMS_CONFIG": ROI_COMMON["NMS_CONFIG"],
+        "TARGET_CONFIG": ROI_COMMON["TARGET_CONFIG"],
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {"rcnn_iou_weight": 1.0}},
+    })
+    model = build_network(cfg, num_class=1, dataset=META_VOXEL)
+    bd = batch()
+    variables = model.init(jax.random.PRNGKey(0), dict(bd), training=True)
+    out, _ = model.apply(variables, dict(bd), training=True,
+                         mutable=["batch_stats"])
+    assert np.isfinite(float(out["loss"]))
+    assert "rcnn_iou_loss" in out["tb_dict"]
+    ev = model.apply(variables, dict(bd), training=False)
+    # rectified scores are sigmoid-free probabilities in [0, 1]
+    assert float(ev["batch_cls_preds"].min()) >= 0.0
+    assert float(ev["batch_cls_preds"].max()) <= 1.0
+    pred, _ = model.apply(variables, ev,
+                          method=lambda m, b_: m.post_processing(b_))
+    assert np.isfinite(np.asarray(pred["pred_boxes"])).all()

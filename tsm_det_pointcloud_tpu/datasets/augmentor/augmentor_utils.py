@@ -242,3 +242,45 @@ def _swap_pyramid_points(points, boxes, k, j, mask_k, mask_j, max_num, rng):
     points[sel_j, :3] = to_global(loc_k[: len(sel_j)] if len(loc_k) >= len(sel_j)
                                   else np.resize(loc_k, (len(sel_j), 3)), boxes[j])
     return points
+
+
+# ---------------------------------------------------------------------------
+# frustum dropout (parity: augmentor_utils.global_frustum_dropout_{top,
+# bottom,left,right} — drop all points/boxes beyond an axis threshold
+# sampled as a fraction of the axis extent)
+# ---------------------------------------------------------------------------
+
+def _frustum_threshold(vals, intensity, side):
+    lo, hi = float(np.min(vals)), float(np.max(vals))
+    span = hi - lo
+    if side == "high":
+        return hi - intensity * span
+    return lo + intensity * span
+
+
+def global_frustum_dropout_top(gt_boxes, points, rng, intensity_range):
+    t = _frustum_threshold(
+        points[:, 2], rng.uniform(*intensity_range), "high"
+    )
+    return gt_boxes[gt_boxes[:, 2] < t], points[points[:, 2] < t]
+
+
+def global_frustum_dropout_bottom(gt_boxes, points, rng, intensity_range):
+    t = _frustum_threshold(
+        points[:, 2], rng.uniform(*intensity_range), "low"
+    )
+    return gt_boxes[gt_boxes[:, 2] > t], points[points[:, 2] > t]
+
+
+def global_frustum_dropout_left(gt_boxes, points, rng, intensity_range):
+    t = _frustum_threshold(
+        points[:, 1], rng.uniform(*intensity_range), "high"
+    )
+    return gt_boxes[gt_boxes[:, 1] < t], points[points[:, 1] < t]
+
+
+def global_frustum_dropout_right(gt_boxes, points, rng, intensity_range):
+    t = _frustum_threshold(
+        points[:, 1], rng.uniform(*intensity_range), "low"
+    )
+    return gt_boxes[gt_boxes[:, 1] > t], points[points[:, 1] > t]

@@ -137,6 +137,20 @@ class DataAugmentor:
 
         return fn
 
+    def random_world_frustum_dropout(self, config=None):
+        from . import augmentor_utils
+
+        def fn(data_dict, rng):
+            for direction in config.get("DIRECTION", ["top"]):
+                rng_range = config.get("INTENSITY_RANGE", [0.0, 0.2])
+                gt, pts = getattr(
+                    augmentor_utils, "global_frustum_dropout_%s" % direction
+                )(data_dict["gt_boxes"], data_dict["points"], rng, rng_range)
+                data_dict["gt_boxes"], data_dict["points"] = gt, pts
+            return data_dict
+
+        return fn
+
     def random_local_pyramid_aug(self, config=None):
         def fn(data_dict, rng):
             data_dict["gt_boxes"], data_dict["points"] = augmentor_utils.local_pyramid_aug(

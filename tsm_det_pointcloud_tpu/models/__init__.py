@@ -33,11 +33,16 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     """Instantiate the topology modules present in model_cfg, in order."""
     from .backbones_2d.base_bev_backbone import BaseBEVBackbone
     from .backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
-    from .backbones_3d.vfe import MeanVFE, MeanDensityVFE, PillarVFE
+    from .backbones_3d.vfe import (
+        DynamicMeanVFE, DynamicPillarVFE, MeanVFE, MeanDensityVFE, PillarVFE,
+    )
     from .dense_heads.anchor_head import AnchorHeadSingle
 
     vfe_registry = {
-        "MeanVFE": MeanVFE, "PillarVFE": PillarVFE, "MeanDensityVFE": MeanDensityVFE,
+        "MeanVFE": MeanVFE, "PillarVFE": PillarVFE,
+        "MeanDensityVFE": MeanDensityVFE,
+        "DynMeanVFE": DynamicMeanVFE, "DynamicMeanVFE": DynamicMeanVFE,
+        "DynPillarVFE": DynamicPillarVFE, "DynamicPillarVFE": DynamicPillarVFE,
     }
     map_bev_registry = {
         "PointPillarScatter": PointPillarScatter,
@@ -57,12 +62,14 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     from .roi_heads.partA2_head import PartA2FCHead
     from .roi_heads.pointrcnn_head import PointRCNNHead
     from .roi_heads.pvrcnn_head import PVRCNNHead
+    from .roi_heads.second_head import SECONDHead
     from .roi_heads.voxelrcnn_head import VoxelRCNNHead
     roi_head_registry = {
         "PVRCNNHead": PVRCNNHead,
         "PointRCNNHead": PointRCNNHead,
         "VoxelRCNNHead": VoxelRCNNHead,
         "PartA2FCHead": PartA2FCHead,
+        "SECONDHead": SECONDHead,
     }
     try:
         from .backbones_3d.spconv_unet import UNetV2
@@ -212,7 +219,7 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
             input_channels=cur_pfe_features or 128,
             num_class=num_class,
         )
-        if name == "VoxelRCNNHead":
+        if name in ("VoxelRCNNHead", "SECONDHead"):
             kwargs["voxel_size"] = meta.voxel_size
             kwargs["point_cloud_range"] = meta.point_cloud_range
         m = roi_head_registry[name](**kwargs)

@@ -150,6 +150,17 @@ class PillarVFE(nn.Module):
         return batch_dict
 
 
+class DynamicMeanVFE(MeanVFE):
+    """Parity: dynamic_mean_vfe.py (torch_scatter scatter_mean). Our MeanVFE
+    is already 'dynamic' — device-side voxelization IS a segment reduction
+    with no per-voxel point cap beyond the buffer; this alias preserves the
+    reference registry name."""
+
+
+class DynamicPillarVFE(PillarVFE):
+    """Parity: dynamic_pillar_vfe.py — same note as DynamicMeanVFE."""
+
+
 class MeanDensityVFE(MeanVFE):
     """Mean VFE + per-voxel point-count density channel
     (parity: vfe/__init__.py MeanDensityVFE)."""

@@ -7,13 +7,14 @@ from .second_net import SECONDNet
 from .point_3dssd import Point3DSSD
 from .centerpoint import CenterPoint
 from .pv_rcnn import PVRCNN
-from .two_stage import PartA2Net, PointRCNN, VoxelRCNN
+from .two_stage import PartA2Net, PointRCNN, SECONDNetIoU, VoxelRCNN
 
 __all__ = {
     "PVRCNN": PVRCNN,
     "PointRCNN": PointRCNN,
     "VoxelRCNN": VoxelRCNN,
     "PartA2Net": PartA2Net,
+    "SECONDNetIoU": SECONDNetIoU,
     "Detector3DTemplate": Detector3DTemplate,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,

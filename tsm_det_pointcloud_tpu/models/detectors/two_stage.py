@@ -44,3 +44,8 @@ class VoxelRCNN(TwoStageBase):
 
 class PartA2Net(TwoStageBase):
     """UNetV2 backbone -> anchor RPN + part head -> Part-A2 RoI head."""
+
+
+class SECONDNetIoU(TwoStageBase):
+    """SECOND + IoU-rectification cascade (parity: second_net_iou.py):
+    the SECONDHead rectifies scores as cls^(1-a) * iou^a before NMS."""
