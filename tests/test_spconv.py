@@ -170,3 +170,19 @@ def test_nonuniform_kernel():
     for i in range(int(ov[0].sum())):
         z, y, x = oc[0, i]
         np.testing.assert_allclose(of[0, i], ref[0, z, y, x], rtol=1e-4, atol=1e-5)
+
+
+def test_binary_fallback_matches_dense_table(monkeypatch):
+    """Both rulebook lookup paths (dense hash table / binary search) must
+    agree; large grids fall back to binary search."""
+    import tsm_det_pointcloud_tpu.ops.spconv as spmod
+
+    rng = np.random.RandomState(7)
+    feats, coords, valid = make_sparse(rng, 30, cin=4)
+    weight = rng.randn(27, 4, 5).astype(np.float32) * 0.1
+    args = (jnp.array(feats), jnp.array(coords), jnp.array(valid),
+            jnp.array(weight), GRID)
+    out_dense = np.asarray(subm_conv3d(*args))
+    monkeypatch.setattr(spmod, "DENSE_TABLE_MAX_CELLS", 0)
+    out_binary = np.asarray(spmod.subm_conv3d(*args))
+    np.testing.assert_allclose(out_dense, out_binary, rtol=1e-5, atol=1e-6)

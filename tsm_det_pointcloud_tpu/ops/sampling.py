@@ -45,9 +45,19 @@ def _fps_loop(npoint, init_key, update_key_fn):
     return idxs
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sample(xyz, npoint, valid_mask=None):
-    """(B, N, 3) -> (B, npoint) int32 indices (d-fps)."""
+    """(B, N, 3) -> (B, npoint) int32 indices (d-fps).
+    On TPU dispatches to the VMEM-resident Pallas kernel (fps_pallas.py);
+    the XLA fori_loop below is the CPU/test oracle (identical numerics)."""
+    if jax.default_backend() == "tpu":
+        from .fps_pallas import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint, valid_mask)
+    return _furthest_point_sample_xla(xyz, npoint, valid_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _furthest_point_sample_xla(xyz, npoint, valid_mask=None):
     B, N, _ = xyz.shape
     big = jnp.asarray(1e10, xyz.dtype)
     mindist = jnp.full((B, N), big, xyz.dtype)
@@ -64,12 +74,22 @@ def furthest_point_sample(xyz, npoint, valid_mask=None):
     return _fps_loop(npoint, mindist, update)
 
 
-@functools.partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sample_weights(xyz, weights, npoint, valid_mask=None):
     """s-fps: running min-distance scaled by per-point weights.
     xyz (B, N, 3), weights (B, N) -> (B, npoint).
     Parity: sampling_gpu.cu furthest_point_sampling_weights_kernel — the
-    selection key is weights * min_dist."""
+    selection key is weights * min_dist. TPU dispatches to Pallas."""
+    if jax.default_backend() == "tpu":
+        from .fps_pallas import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(
+            xyz, npoint, valid_mask, weights=weights
+        )
+    return _furthest_point_sample_weights_xla(xyz, weights, npoint, valid_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _furthest_point_sample_weights_xla(xyz, weights, npoint, valid_mask=None):
     B, N, _ = xyz.shape
     big = jnp.asarray(1e10, xyz.dtype)
     mindist = jnp.full((B, N), big, xyz.dtype)

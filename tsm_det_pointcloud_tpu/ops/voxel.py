@@ -193,6 +193,8 @@ def voxel_query(new_xyz, new_coords_zyx, centroid_xyz, centroid_coords_zyx,
     min_r2 = float(min_radius) ** 2
 
     def one_chunk(args):
+        from .topk import top_k
+
         x, coord = args
         d2 = jnp.sum((x[:, None, :] - centroid_xyz[None, :, :]) ** 2, axis=-1)
         dc = jnp.abs(coord[:, None, :] - centroid_coords_zyx[None, :, :])
@@ -203,9 +205,22 @@ def voxel_query(new_xyz, new_coords_zyx, centroid_xyz, centroid_coords_zyx,
         )
         if min_r2 > 0:
             mask &= d2 >= min_r2
-        from .grouping import _first_k_true
-
-        return _first_k_true(mask, nsample)
+        # nearest-k selection (the CUDA kernel reservoir-samples a random k
+        # of the window, voxel_query_gpu.cu:26 — nearest-k is deterministic
+        # and the same documented delta as ball_query)
+        neg_big = jnp.asarray(-1e30, d2.dtype)
+        key = jnp.where(mask, -d2, neg_big)
+        if key.shape[-1] < nsample:  # fewer centroids than nsample slots
+            key = jnp.pad(
+                key, ((0, 0), (0, nsample - key.shape[-1])),
+                constant_values=-1e30,
+            )
+        kv, idx = top_k(key, nsample)
+        idx = jnp.minimum(idx, mask.shape[-1] - 1)
+        hit = kv > neg_big * 0.5
+        idx = jnp.where(hit, idx, idx[:, :1]).astype(jnp.int32)
+        cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)
+        return idx, cnt
 
     idx, cnt = jax.lax.map(one_chunk, (qx, qc))
     return idx.reshape(-1, nsample)[:M], cnt.reshape(-1)[:M]
