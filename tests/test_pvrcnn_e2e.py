@@ -179,3 +179,42 @@ def test_eval_second_stage_and_post(model_and_vars):
     )
     assert pred["pred_boxes"].shape == (2, 8, 7)
     assert float(recall["gt"]) == 2.0
+
+
+def test_pvrcnn_plusplus_vectorpool():
+    """PV-RCNN++ variant: sectorized keypoints + VectorPool aggregation."""
+    cfg = model_cfg()
+    cfg["NAME"] = "PVRCNNPlusPlus"
+    cfg["PFE"]["SAMPLE_METHOD"] = "SPC"
+    cfg["PFE"]["SPC_SAMPLING"] = {"NUM_SECTORS": 4}
+    cfg["PFE"]["SA_LAYER"]["raw_points"] = {
+        "NAME": "VectorPoolAggregationModuleMSG",
+        "POOL_RADIUS": [0.4, 0.8], "NSAMPLE": [8, 8],
+        "LOCAL_GRIDS": [[2, 2, 2], [2, 2, 2]],
+        "MLPS": [[8], [8]],
+        "AGGREGATION_MLPS": [16],
+    }
+    model = build_network(cfg, num_class=1, dataset=META)
+    bd = batch()
+    variables = model.init(jax.random.PRNGKey(0), dict(bd), training=True)
+    out, _ = model.apply(variables, dict(bd), training=True,
+                         mutable=["batch_stats"])
+    assert np.isfinite(float(out["loss"]))
+    ev = model.apply(variables, dict(bd), training=False)
+    assert np.isfinite(np.asarray(ev["batch_box_preds"])).all()
+
+
+def test_sectorized_fps_covers_sectors():
+    from tsm_det_pointcloud_tpu.models.backbones_3d.pfe.vector_pool import (
+        sectorized_fps,
+    )
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.uniform(-10, 10, (2, 128, 3)).astype(np.float32))
+    valid = jnp.ones((2, 128), bool)
+    idx = sectorized_fps(xyz, valid, 16, num_sectors=4)
+    assert idx.shape == (2, 16)
+    # sampled points span multiple azimuth sectors
+    pts = np.take_along_axis(np.asarray(xyz), np.asarray(idx)[..., None], 1)
+    ang = np.arctan2(pts[..., 1], pts[..., 0])
+    sec = np.floor((ang + np.pi) / (np.pi / 2)).astype(int) % 4
+    assert len(np.unique(sec[0])) >= 3

@@ -105,8 +105,19 @@ class VoxelSetAbstraction(nn.Module):
         pmask = batch_dict["points_mask"]
         xyz = points[..., :3]
 
-        # --- keypoint sampling (FPS over the raw cloud) ---
-        idx = sampling.furthest_point_sample(xyz, n_kp, pmask)
+        # --- keypoint sampling (FPS / sectorized-FPS over the raw cloud) ---
+        method = str(cfg.get("SAMPLE_METHOD", "FPS"))
+        if method in ("SPC", "SectorFPS"):
+            from .vector_pool import sectorized_fps
+
+            idx = sectorized_fps(
+                xyz, pmask, n_kp,
+                num_sectors=int(cfg.get("SPC_SAMPLING", {}).get(
+                    "NUM_SECTORS", 6
+                )),
+            )
+        else:
+            idx = sampling.furthest_point_sample(xyz, n_kp, pmask)
         keypoints = sampling.gather_points(xyz, idx)          # (B, K, 3)
         kp_valid = jnp.take_along_axis(pmask, idx, axis=1)
 
@@ -127,15 +138,40 @@ class VoxelSetAbstraction(nn.Module):
 
             feats.append(jax.vmap(one)(bev, keypoints))
 
+        def make_group(sc, name):
+            # PV-RCNN++ sources use VectorPool, PV-RCNN plain ball-MSG
+            if str(sc.get("NAME", "")) == "VectorPoolAggregationModuleMSG":
+                from .vector_pool import VectorPoolAggregationModuleMSG
+
+                n_scale = len(sc["POOL_RADIUS"])
+                return VectorPoolAggregationModuleMSG(
+                    radii=tuple(sc["POOL_RADIUS"]),
+                    nsamples=tuple(sc["NSAMPLE"]),
+                    local_grids=tuple(
+                        tuple(g) for g in sc.get(
+                            "LOCAL_GRIDS", [[3, 3, 3]] * n_scale
+                        )
+                    ),
+                    mlps=tuple(tuple(m) for m in sc["MLPS"]),
+                    aggregation_mlp=(
+                        list(sc["AGGREGATION_MLPS"])
+                        if sc.get("AGGREGATION_MLPS") else None
+                    ),
+                    name=name,
+                )
+            return SAGroup(
+                radii=tuple(sc["POOL_RADIUS"]),
+                nsamples=tuple(sc["NSAMPLE"]),
+                mlps=tuple(tuple(m) for m in sc["MLPS"]),
+                name=name,
+            )
+
         if "raw_points" in src_names:
             rp = sa_cfg["raw_points"]
             raw_feats = points[..., 3:] if points.shape[-1] > 3 else None
-            feats.append(SAGroup(
-                radii=tuple(rp["POOL_RADIUS"]),
-                nsamples=tuple(rp["NSAMPLE"]),
-                mlps=tuple(tuple(m) for m in rp["MLPS"]),
-                name="sa_rawpoints",
-            )(keypoints, xyz, raw_feats, pmask, training))
+            feats.append(make_group(rp, "sa_rawpoints")(
+                keypoints, xyz, raw_feats, pmask, training
+            ))
 
         for src in src_names:
             if not src.startswith("x_conv"):
@@ -148,12 +184,9 @@ class VoxelSetAbstraction(nn.Module):
                     c, stride, self.voxel_size, self.point_cloud_range
                 )
             )(st.coords)
-            feats.append(SAGroup(
-                radii=tuple(sc["POOL_RADIUS"]),
-                nsamples=tuple(sc["NSAMPLE"]),
-                mlps=tuple(tuple(m) for m in sc["MLPS"]),
-                name=f"sa_{src}",
-            )(keypoints, centers, st.features, st.valid, training))
+            feats.append(make_group(sc, f"sa_{src}")(
+                keypoints, centers, st.features, st.valid, training
+            ))
 
         fused = jnp.concatenate(feats, -1)
         out = nn.Dense(

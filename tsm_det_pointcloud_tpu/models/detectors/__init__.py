@@ -6,11 +6,12 @@ from .pointpillar import PointPillar
 from .second_net import SECONDNet
 from .point_3dssd import Point3DSSD
 from .centerpoint import CenterPoint
-from .pv_rcnn import PVRCNN
+from .pv_rcnn import PVRCNN, PVRCNNPlusPlus
 from .two_stage import PartA2Net, PointRCNN, SECONDNetIoU, VoxelRCNN
 
 __all__ = {
     "PVRCNN": PVRCNN,
+    "PVRCNNPlusPlus": PVRCNNPlusPlus,
     "PointRCNN": PointRCNN,
     "VoxelRCNN": VoxelRCNN,
     "PartA2Net": PartA2Net,

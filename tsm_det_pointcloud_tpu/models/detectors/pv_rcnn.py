@@ -29,3 +29,10 @@ class PVRCNN(Detector3DTemplate):
             if r == role:
                 return m
         raise KeyError(role)
+
+
+class PVRCNNPlusPlus(PVRCNN):
+    """PV-RCNN++ (parity: pv_rcnn_plusplus.py): same two-stage flow with
+    sectorized keypoint sampling + VectorPool aggregation, both selected
+    via PFE config (SAMPLE_METHOD: SPC, SA_LAYER NAME:
+    VectorPoolAggregationModuleMSG)."""
