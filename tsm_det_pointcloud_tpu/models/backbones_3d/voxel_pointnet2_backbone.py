@@ -175,16 +175,19 @@ class VoxelSAModule(nn.Module):
         # ---- grouping + per-scale MLPs ----
         outs = []
         if sp is None:
-            # layer 0: ball query over raw points, xyz-augmented MLPs
-            for i, (r, ns, mlp) in enumerate(
-                zip(self.radii, self.nsamples, self.mlps)
+            # layer 0: ball query over raw points, xyz-augmented MLPs.
+            # All scales share one (M, N) distance grid (ball_query_multi).
+            pairs = []
+            for i, r in enumerate(self.radii):
+                lo = self.radii[i - 1] if (self.dilated_group and i > 0) else 0.0
+                pairs.append((float(lo), float(r)))
+            queries = grouping.ball_query_multi(
+                tuple(pairs), tuple(int(n) for n in self.nsamples),
+                xyz, new_xyz, valid,
+            )
+            for i, ((idx, cnt), ns, mlp) in enumerate(
+                zip(queries, self.nsamples, self.mlps)
             ):
-                if self.dilated_group and i > 0:
-                    idx, cnt = grouping.ball_query_dilated(
-                        self.radii[i - 1], r, ns, xyz, new_xyz, valid
-                    )
-                else:
-                    idx, cnt = grouping.ball_query(r, ns, xyz, new_xyz, valid)
                 g_xyz = grouping.group_points(xyz, idx) - new_xyz[:, :, None, :]
                 slot_ok = (
                     (jnp.arange(ns)[None, None, :] < cnt[:, :, None])

@@ -25,6 +25,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fps_kernel_batched(npoint, weighted, xyz_ref, init_ref, w_ref, out_ref):
+    """All batch rows advance in lockstep within ONE program: the per-step
+    loop overhead (reductions, masked stores) is paid once for the whole
+    batch instead of once per sample (grid=(B,) serializes on a TensorCore).
+    State: mindist (B, N) f32 in VMEM; B*N is bounded by the caller."""
+    xs = xyz_ref[0]                    # (B, N)
+    ys = xyz_ref[1]
+    zs = xyz_ref[2]
+    w = w_ref[0] if weighted else None # (B, N)
+    B, N = xs.shape
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (B, npoint), 1)
+    out_ref[0] = jnp.zeros((B, npoint), jnp.int32)
+
+    def body(i, carry):
+        mindist, last = carry          # last (B, 1) int32
+        sel = lanes == last
+        xj = jnp.sum(jnp.where(sel, xs, 0.0), axis=1, keepdims=True)
+        yj = jnp.sum(jnp.where(sel, ys, 0.0), axis=1, keepdims=True)
+        zj = jnp.sum(jnp.where(sel, zs, 0.0), axis=1, keepdims=True)
+        d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
+        mindist = jnp.minimum(mindist, d2)
+        key = mindist * w if weighted else mindist
+        nxt = jnp.argmax(key, axis=1, keepdims=True).astype(jnp.int32)
+        out_ref[0] = jnp.where(out_lanes == i, nxt, out_ref[0])
+        return mindist, nxt
+
+    jax.lax.fori_loop(
+        1, npoint, body,
+        (init_ref[0], jnp.zeros((B, 1), jnp.int32)),
+    )
+
+
 def _fps_kernel(npoint, weighted, xyz_ref, init_ref, w_ref, out_ref):
     xs = xyz_ref[0, 0:1, :]            # (1, N)
     ys = xyz_ref[0, 1:2, :]
@@ -79,6 +113,28 @@ def furthest_point_sample_pallas(xyz, npoint, valid_mask=None, weights=None):
         )
     else:
         wpad = jnp.zeros((B, 1, Np), jnp.float32)
+
+    # batched lockstep kernel when the whole (B, N) state fits VMEM
+    state_bytes = B * Np * 4 * (5 if weighted else 4)
+    if state_bytes <= 10 * 1024 * 1024:
+        xyzB = jnp.moveaxis(xyzT, 1, 0)               # (3, B, N)
+        kernel = functools.partial(_fps_kernel_batched, npoint, weighted)
+        out = pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((3, B, Np), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, Np), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, Np), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, B, npoint), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, B, npoint), jnp.int32),
+        )(xyzB, jnp.moveaxis(init, 1, 0), jnp.moveaxis(wpad, 1, 0))
+        return out[0]
 
     kernel = functools.partial(_fps_kernel, npoint, weighted)
     out = pl.pallas_call(

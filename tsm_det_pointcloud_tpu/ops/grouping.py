@@ -91,6 +91,53 @@ def ball_query(radius, nsample, xyz, new_xyz, valid_mask=None, chunk=512):
     return jax.vmap(f)(new_xyz, xyz, valid)
 
 
+def ball_query_multi(radius_pairs, nsamples, xyz, new_xyz, valid_mask=None,
+                     chunk=512):
+    """Multi-scale (dilated) ball query sharing ONE distance grid.
+
+    radius_pairs: tuple of (min_r, max_r) per scale; nsamples per scale.
+    Returns list of (idx (B, M, ns), cnt (B, M)). The d2 computation is
+    the dominant cost of layer-0 grouping — computing it once for all
+    scales instead of per scale is a ~len(scales)x saving.
+    """
+    from .topk import top_k
+
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    valid = valid_mask if valid_mask is not None else jnp.ones((B, N), bool)
+    c = min(chunk, M)
+    pad = (-M) % c
+    neg_big = jnp.asarray(-1e30, xyz.dtype)
+    n_scales = len(radius_pairs)
+
+    def single(nx, x, v):
+        q = jnp.pad(nx, ((0, pad), (0, 0))).reshape(-1, c, 3)
+
+        def one_chunk(qc):
+            d2 = jnp.sum((qc[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+            base = jnp.where(v[None, :], -d2, neg_big)
+            outs = []
+            for (min_r, max_r), ns in zip(radius_pairs, nsamples):
+                key = jnp.where(d2 < float(max_r) ** 2, base, neg_big)
+                if min_r > 0:
+                    key = jnp.where(d2 >= float(min_r) ** 2, key, neg_big)
+                kv, idx = top_k(key, ns)
+                hit = kv > neg_big * 0.5
+                idx = jnp.where(hit, idx, idx[:, :1]).astype(jnp.int32)
+                cnt = jnp.sum(key > neg_big * 0.5, axis=-1).astype(jnp.int32)
+                outs.append((idx, cnt))
+            return tuple(outs)
+
+        res = jax.lax.map(one_chunk, q)
+        return tuple(
+            (idx.reshape(-1, idx.shape[-1])[:M], cnt.reshape(-1)[:M])
+            for idx, cnt in res
+        )
+
+    per_b = jax.vmap(single)(new_xyz, xyz, valid)
+    return [per_b[i] for i in range(n_scales)]
+
+
 @functools.partial(jax.jit, static_argnames=("min_radius", "max_radius", "nsample", "chunk"))
 def ball_query_dilated(min_radius, max_radius, nsample, xyz, new_xyz,
                        valid_mask=None, chunk=512):
