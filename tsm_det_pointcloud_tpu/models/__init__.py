@@ -44,9 +44,11 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         "DynMeanVFE": DynamicMeanVFE, "DynamicMeanVFE": DynamicMeanVFE,
         "DynPillarVFE": DynamicPillarVFE, "DynamicPillarVFE": DynamicPillarVFE,
     }
+    from .backbones_2d.map_to_bev import Conv2DCollapse
     map_bev_registry = {
         "PointPillarScatter": PointPillarScatter,
         "HeightCompression": HeightCompression,
+        "Conv2DCollapse": Conv2DCollapse,
     }
     backbone2d_registry = {"BaseBEVBackbone": BaseBEVBackbone}
     dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle}
@@ -118,18 +120,30 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     cur_bev_channels = None
 
     if model_cfg.get("VFE") is not None:
-        cls = vfe_registry[model_cfg["VFE"]["NAME"]]
-        m = cls(
-            model_cfg=dict(model_cfg["VFE"]),
-            num_point_features=meta.num_point_features,
-            voxel_size=meta.voxel_size,
-            point_cloud_range=meta.point_cloud_range,
-            max_voxels=meta.max_voxels,
-            max_points_per_voxel=meta.max_points_per_voxel,
-        )
+        vfe_name = model_cfg["VFE"]["NAME"]
+        if vfe_name == "ImageVFE":
+            from .backbones_3d.image_vfe import ImageVFE
+
+            m = ImageVFE(
+                model_cfg=dict(model_cfg["VFE"]),
+                grid_size=meta.grid_size,
+                point_cloud_range=meta.point_cloud_range,
+                voxel_size=meta.voxel_size,
+                downsample_factor=int(meta.depth_downsample_factor or 8),
+            )
+        else:
+            cls = vfe_registry[vfe_name]
+            m = cls(
+                model_cfg=dict(model_cfg["VFE"]),
+                num_point_features=meta.num_point_features,
+                voxel_size=meta.voxel_size,
+                point_cloud_range=meta.point_cloud_range,
+                max_voxels=meta.max_voxels,
+                max_points_per_voxel=meta.max_points_per_voxel,
+            )
         cur_point_features = m.get_output_feature_dim()
         modules.append(m)
-        infos.append(("vfe", model_cfg["VFE"]["NAME"]))
+        infos.append(("vfe", vfe_name))
 
     if model_cfg.get("BACKBONE_3D") is not None:
         cls = backbone3d_registry[model_cfg["BACKBONE_3D"]["NAME"]]

@@ -36,6 +36,24 @@ class PointPillarScatter(nn.Module):
         return batch_dict
 
 
+class Conv2DCollapse(nn.Module):
+    """Collapse a dense (B, nx, ny, nz, C) voxel volume to BEV with a
+    learned 1x1 conv (parity: map_to_bev/conv2d_collapse.py — CaDDN)."""
+    model_cfg: dict
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        vox = batch_dict["spatial_features_3d"]      # (B, nx, ny, nz, C)
+        B, nx, ny, nz, C = vox.shape
+        x = vox.transpose(0, 2, 1, 3, 4).reshape(B, ny, nx, nz * C)
+        out_ch = int(self.model_cfg.get("NUM_BEV_FEATURES", 64))
+        x = nn.Conv(out_ch, (1, 1), use_bias=False, name="collapse")(x)
+        x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                         epsilon=1e-3, name="bn")(x)
+        batch_dict["spatial_features"] = nn.relu(x)
+        return batch_dict
+
+
 class HeightCompression(nn.Module):
     """Collapse the z axis of a dense 3D feature volume into channels
     (parity: height_compression.py:10-26). Expects

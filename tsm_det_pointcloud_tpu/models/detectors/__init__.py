@@ -5,6 +5,7 @@ from .detector3d_template import DatasetMeta, Detector3DTemplate
 from .pointpillar import PointPillar
 from .second_net import SECONDNet
 from .point_3dssd import Point3DSSD
+from .caddn import CaDDN
 from .centerpoint import CenterPoint
 from .pv_rcnn import PVRCNN, PVRCNNPlusPlus
 from .two_stage import PartA2Net, PointRCNN, SECONDNetIoU, VoxelRCNN
@@ -16,6 +17,7 @@ __all__ = {
     "VoxelRCNN": VoxelRCNN,
     "PartA2Net": PartA2Net,
     "SECONDNetIoU": SECONDNetIoU,
+    "CaDDN": CaDDN,
     "Detector3DTemplate": Detector3DTemplate,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,
