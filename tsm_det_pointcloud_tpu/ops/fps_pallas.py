@@ -94,7 +94,14 @@ def _fps_kernel(npoint, weighted, xyz_ref, init_ref, w_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("npoint",))
 def furthest_point_sample_pallas(xyz, npoint, valid_mask=None, weights=None):
     """(B, N, 3) -> (B, npoint) int32. Drop-in for
-    sampling.furthest_point_sample(_weights); TPU-only (callers dispatch)."""
+    sampling.furthest_point_sample(_weights); TPU-only (callers dispatch).
+
+    Index outputs carry no gradients (the CUDA op had none either); inputs
+    are stop_gradient'ed so autodiff never tries to linearize pallas_call
+    (s-fps weights come from trainable confidence logits in training)."""
+    xyz = jax.lax.stop_gradient(xyz)
+    if weights is not None:
+        weights = jax.lax.stop_gradient(weights)
     B, N, _ = xyz.shape
     Np = -(-N // 128) * 128
     xyzT = jnp.moveaxis(xyz, -1, 1)                      # (B, 3, N)
