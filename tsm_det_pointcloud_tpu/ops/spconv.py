@@ -8,11 +8,12 @@ mini U-Nets, SURVEY.md §2.1). Design (SURVEY.md §7.2 "the hard one"):
       features (B, V, C) f32, coords (B, V, 3) int32 zyx (-1 pad),
       valid (B, V) bool — with the INVARIANT that rows are sorted by the
       linearized voxel key (voxelize/unique emit this order for free).
-  * Rulebook construction = sorted-key binary search (jnp.searchsorted) per
-    kernel tap, NOT the reference's dense (B, Z, Y, X) hash
-    (common_utils.py:248-265): KITTI's stride-1 grid is 41x1600x1408 = 92M
-    cells — a dense table would be GBs; log2(V)~14-step searches over the
-    V<=16k sorted keys are cheap and fully vectorized.
+  * Rulebook construction: a dense voxel->slot hash table per sample
+    (one scatter to build, one gather per tap — like the reference's
+    generate_voxel2pinds, common_utils.py:248-265) when the grid fits
+    DENSE_TABLE_MAX_CELLS; sorted-key binary search otherwise (KITTI's
+    stride-1 grid is 41x1600x1408 = 92M cells — a table would be 370MB
+    per sample, so searches over the V<=16k sorted keys win there).
   * Submanifold conv: out positions == in positions; per-tap gather + one
     (V, Cin)x(Cin, Cout) GEMM on the MXU, accumulated over taps.
   * Strided conv: exact spconv output set — the union over inputs of every
@@ -72,6 +73,19 @@ def kernel_offsets(kernel_size):
 DENSE_TABLE_MAX_CELLS = 16_000_000
 
 
+def compute_dtype():
+    """Gather/GEMM compute dtype for sparse convs. bf16 halves the gather
+    bytes and doubles MXU rate; accumulation stays f32
+    (preferred_element_type). Opt-in via TSM_COMPUTE_DTYPE=bfloat16."""
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("TSM_COMPUTE_DTYPE", "") == "bfloat16"
+        else None
+    )
+
+
 def build_hash_table(coords_zyx, valid, grid):
     """(V, 3) sorted coords -> (prod(grid),) int32 voxel->slot table
     (-1 = empty). Costs one scatter; amortize across all convs that share
@@ -119,15 +133,18 @@ def subm_conv3d(features, coords, valid, weight, grid, table=None):
         qc = c[None, :, :] + offs[:, None, :]             # (K, V, 3)
         qk = linearize(qc, grid, v[None, :])
         idx, found = _lookup(keys, qk, sentinel, t)       # (K, V)
+        cd = compute_dtype()
+        fg = f.astype(cd) if cd else f
+        wg = weight.astype(cd) if cd else weight
         gathered = jnp.where(
-            (found & v[None, :])[..., None], f[idx], 0.0
+            (found & v[None, :])[..., None], fg[idx], 0.0
         )                                                  # (K, V, Cin)
         # one (V, K*Cin) x (K*Cin, Cout) MXU contraction instead of K small
         # GEMMs — the einsum contracts both tap and channel axes at once.
         out = jnp.einsum(
-            "kvi,kio->vo", gathered, weight,
+            "kvi,kio->vo", gathered, wg,
             preferred_element_type=f.dtype,
-        )
+        ).astype(f.dtype)
         return jnp.where(v[:, None], out, 0.0)
 
     if table is None:
@@ -227,10 +244,13 @@ def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
         qc = oc[None, :, :] * st_j - pd_j + taps[:, None, :]
         qk = linearize(qc, grid, ov[None, :])
         idx, found = _lookup(in_keys, qk, sentinel, t)     # (K, Vo)
-        gathered = jnp.where((found & ov[None, :])[..., None], f[idx], 0.0)
+        cd = compute_dtype()
+        fg = f.astype(cd) if cd else f
+        wg = weight.astype(cd) if cd else weight
+        gathered = jnp.where((found & ov[None, :])[..., None], fg[idx], 0.0)
         out = jnp.einsum(
-            "kvi,kio->vo", gathered, weight, preferred_element_type=f.dtype
-        )
+            "kvi,kio->vo", gathered, wg, preferred_element_type=f.dtype
+        ).astype(f.dtype)
         return jnp.where(ov[:, None], out, 0.0), oc, ov
 
     if table is None:
@@ -274,12 +294,15 @@ def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
         exact = jnp.all(c_cand * st_j == num, axis=-1)     # (K, Vf)
         qk = linearize(c_cand, coarse_grid, fv[None, :] & exact)
         idx, found = _lookup(ckeys, qk, sentinel, t)
+        cd = compute_dtype()
+        fg = cf.astype(cd) if cd else cf
+        wg = weight.astype(cd) if cd else weight
         gathered = jnp.where(
-            (found & fv[None, :] & exact)[..., None], cf[idx], 0.0
+            (found & fv[None, :] & exact)[..., None], fg[idx], 0.0
         )
         out = jnp.einsum(
-            "kvi,kio->vo", gathered, weight, preferred_element_type=cf.dtype
-        )
+            "kvi,kio->vo", gathered, wg, preferred_element_type=cf.dtype
+        ).astype(cf.dtype)
         return jnp.where(fv[:, None], out, 0.0)
 
     if table is None:
