@@ -110,6 +110,8 @@ class KittiDataset(DatasetTemplate):
     def get_infos(self, num_workers=4, has_label=True, count_inside_pts=True,
                   sample_id_list=None):
         sample_id_list = sample_id_list or self.sample_id_list
+        if sample_id_list is None:  # split file absent (e.g. no test set)
+            return []
 
         def process_single_scene(sample_idx):
             info = {}
