@@ -113,3 +113,39 @@ def test_train_step_with_statistics_collection():
     assert float(m2["loss"]) < float(m1["loss"])
     np.testing.assert_allclose(np.asarray(s2.statistics["buf"]), 2.0)
     assert int(s2.step) == 2
+
+
+def test_bn_stats_are_global_under_mesh():
+    """SyncBatchNorm parity: under jit + batch sharding, BN batch stats are
+    computed over the GLOBAL batch (XLA inserts the cross-replica reduce),
+    so --sync_bn semantics hold by construction."""
+    import flax.linen as nn
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, training=True):
+            return nn.BatchNorm(use_running_average=not training,
+                                momentum=0.0)(x)
+
+    model = M()
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 4).astype(np.float32) * 3 + 1
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    # single device
+    _, m1 = model.apply(variables, x, mutable=["batch_stats"])
+
+    # 8-device mesh, batch sharded
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vr = jax.device_put(variables, NamedSharding(mesh, P()))
+    m8 = jax.jit(
+        lambda v, xx: model.apply(v, xx, mutable=["batch_stats"])[1]
+    )(vr, xs)
+
+    np.testing.assert_allclose(
+        np.asarray(m1["batch_stats"]["BatchNorm_0"]["mean"]),
+        np.asarray(m8["batch_stats"]["BatchNorm_0"]["mean"]),
+        rtol=1e-5, atol=1e-6,
+    )

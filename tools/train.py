@@ -28,6 +28,11 @@ def parse_config():
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="capture a jax.profiler trace of the first epoch (xprof "
+             "viewable; replaces the reference's AverageMeter-only timing)",
+    )
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
@@ -146,12 +151,19 @@ def main():
         "*************** Start training %s/%s(%s) ***************",
         cfg.EXP_GROUP_PATH, cfg.TAG, args.extra_tag,
     )
-    train_model(
-        model, state, train_loader, tx, ckpt_dir, total_epochs=epochs,
-        logger=logger, start_epoch=start_epoch,
-        max_ckpt_save_num=args.max_ckpt_save_num, lr_fn=lr_fn,
-        ckpt_save_interval=args.ckpt_save_interval,
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(args.profile_dir)
+        if args.profile_dir else contextlib.nullcontext()
     )
+    with prof:
+        train_model(
+            model, state, train_loader, tx, ckpt_dir, total_epochs=epochs,
+            logger=logger, start_epoch=start_epoch,
+            max_ckpt_save_num=args.max_ckpt_save_num, lr_fn=lr_fn,
+            ckpt_save_interval=args.ckpt_save_interval,
+        )
     logger.info("*************** Training finished ***************")
 
 
