@@ -36,13 +36,15 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     from .backbones_3d.vfe import (
         DynamicMeanVFE, DynamicPillarVFE, MeanVFE, MeanDensityVFE, PillarVFE,
     )
-    from .dense_heads.anchor_head import AnchorHeadSingle
+    from .dense_heads.anchor_head import AnchorHeadMulti, AnchorHeadSingle
 
+    from .backbones_3d.vfe import SPVFE, VPCVFE
     vfe_registry = {
         "MeanVFE": MeanVFE, "PillarVFE": PillarVFE,
         "MeanDensityVFE": MeanDensityVFE,
         "DynMeanVFE": DynamicMeanVFE, "DynamicMeanVFE": DynamicMeanVFE,
         "DynPillarVFE": DynamicPillarVFE, "DynamicPillarVFE": DynamicPillarVFE,
+        "SPVFE": SPVFE, "VPCVFE": VPCVFE,
     }
     from .backbones_2d.map_to_bev import Conv2DCollapse
     map_bev_registry = {
@@ -50,16 +52,31 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         "HeightCompression": HeightCompression,
         "Conv2DCollapse": Conv2DCollapse,
     }
-    backbone2d_registry = {"BaseBEVBackbone": BaseBEVBackbone}
-    dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle}
+    from .backbones_2d.point_bev_hybrids import (
+        BEVPoint, PointFromVoxel, SparsePointBackbone,
+    )
+    backbone2d_registry = {
+        "BaseBEVBackbone": BaseBEVBackbone,
+        "BEVPoint": BEVPoint,
+        "PointFromVoxel": PointFromVoxel,
+        "SparsePointBackbone": SparsePointBackbone,
+    }
+    dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle,
+                           "AnchorHeadMulti": AnchorHeadMulti}
     backbone3d_registry = {}
     from .dense_heads.point_head_box import PointHeadBox
     from .dense_heads.point_head_simple import PointHeadSimple
     from .dense_heads.point_intra_part_head import PointIntraPartOffsetHead
+    from .dense_heads.point_head_box import (
+        DSASNetHead, PVSSDAHead, VPCNetHead,
+    )
     point_head_registry = {
         "PointHeadSimple": PointHeadSimple,
         "PointHeadBox": PointHeadBox,
         "PointIntraPartOffsetHead": PointIntraPartOffsetHead,
+        "VPCNetHead": VPCNetHead,
+        "DSASNetHead": DSASNetHead,
+        "PVSSDAHead": PVSSDAHead,
     }
     from .roi_heads.partA2_head import PartA2FCHead
     from .roi_heads.pointrcnn_head import PointRCNNHead
@@ -79,9 +96,14 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     except ImportError:
         pass
     try:
-        from .backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+        from .backbones_3d.spconv_backbone import (
+            DSASNetVoxelBackBone8x, SpaceVoxelBackBone8x, VoxelBackBone8x,
+            VoxelResBackBone8x,
+        )
         backbone3d_registry.update(
-            VoxelBackBone8x=VoxelBackBone8x, VoxelResBackBone8x=VoxelResBackBone8x
+            VoxelBackBone8x=VoxelBackBone8x, VoxelResBackBone8x=VoxelResBackBone8x,
+            DSASNetVoxelBackBone8x=DSASNetVoxelBackBone8x,
+            SpaceVoxelBackBone8x=SpaceVoxelBackBone8x,
         )
     except ImportError:
         pass
@@ -197,6 +219,20 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         modules.append(m)
         infos.append(("backbone_2d", model_cfg["BACKBONE_2D"]["NAME"]))
         cur_bev_channels = m.get_output_feature_dim()
+
+    if model_cfg.get("NECK") is not None:
+        from .neck import __all__ as neck_registry
+
+        m = neck_registry[model_cfg["NECK"]["NAME"]](
+            model_cfg=dict(model_cfg["NECK"]),
+            voxel_size=meta.voxel_size,
+            point_cloud_range=meta.point_cloud_range,
+        )
+        modules.append(m)
+        infos.append(("neck", model_cfg["NECK"]["NAME"]))
+        cur_bev_channels = model_cfg["NECK"].get(
+            "NUM_FILTERS", cur_bev_channels
+        )
 
     if model_cfg.get("DENSE_HEAD") is not None:
         name = model_cfg["DENSE_HEAD"]["NAME"]

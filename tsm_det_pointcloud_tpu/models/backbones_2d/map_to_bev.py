@@ -19,7 +19,9 @@ class PointPillarScatter(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, training=False):
-        feats = batch_dict["pillar_features"]   # (B, V, C)
+        feats = batch_dict.get(
+            "pillar_features", batch_dict.get("voxel_features")
+        )                                        # (B, V, C)
         coords = batch_dict["voxel_coords"]     # (B, V, 3) zyx
         vmask = batch_dict["voxel_mask"]
         nx, ny, nz = int(self.grid_size[0]), int(self.grid_size[1]), int(self.grid_size[2])

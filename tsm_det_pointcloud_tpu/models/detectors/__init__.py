@@ -8,7 +8,8 @@ from .point_3dssd import Point3DSSD
 from .caddn import CaDDN
 from .centerpoint import CenterPoint
 from .pv_rcnn import PVRCNN, PVRCNNPlusPlus
-from .two_stage import PartA2Net, PointRCNN, SECONDNetIoU, VoxelRCNN
+from .two_stage import (DSASNet, PartA2Net, PointRCNN, PVSSDA,
+                        SECONDNetIoU, VoxelRCNN)
 
 __all__ = {
     "PVRCNN": PVRCNN,
@@ -18,6 +19,8 @@ __all__ = {
     "PartA2Net": PartA2Net,
     "SECONDNetIoU": SECONDNetIoU,
     "CaDDN": CaDDN,
+    "DSASNet": DSASNet,
+    "PVSSDA": PVSSDA,
     "Detector3DTemplate": Detector3DTemplate,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,

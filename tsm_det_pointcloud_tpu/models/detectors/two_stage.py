@@ -49,3 +49,13 @@ class PartA2Net(TwoStageBase):
 class SECONDNetIoU(TwoStageBase):
     """SECOND + IoU-rectification cascade (parity: second_net_iou.py):
     the SECONDHead rectifies scores as cls^(1-a) * iou^a before NMS."""
+
+
+class DSASNet(TwoStageBase):
+    """Parity: the TSM project's DSASNet detector (experimental) —
+    module-list loop with whatever heads the config wires (the generic
+    loss summation covers dense/point/rcnn heads)."""
+
+
+class PVSSDA(TwoStageBase):
+    """Parity: the TSM project's PVSSDA detector (experimental)."""

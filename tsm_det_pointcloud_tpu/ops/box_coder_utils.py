@@ -202,3 +202,40 @@ class PointBinResidualCoder:
         angle_res = box_encodings[..., 6 + self.angle_bin_num :]
         rg = self.decode_angle(angle_cls, angle_res)
         return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
+class PreviousResidualDecoder:
+    """Legacy decoder with (w, l, h) encoding order
+    (parity: box_coder_utils.py:80-109)."""
+
+    def __init__(self, code_size=7, **kwargs):
+        self.code_size = code_size
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+        xt, yt, zt, wt, lt, ht, rt = jnp.split(box_encodings[..., :7], 7, -1)
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diagonal + xa
+        yg = yt * diagonal + ya
+        zg = zt * dza + za
+        dxg = jnp.exp(lt) * dxa
+        dyg = jnp.exp(wt) * dya
+        dzg = jnp.exp(ht) * dza
+        rg = rt + ra
+        extra_t = box_encodings[..., 7:]
+        extra_a = anchors[..., 7 : 7 + extra_t.shape[-1]]
+        return jnp.concatenate(
+            [xg, yg, zg, dxg, dyg, dzg, rg, extra_t + extra_a], -1
+        )
+
+
+class PreviousResidualRoIDecoder(PreviousResidualDecoder):
+    """RoI variant: heading adds with period wrap
+    (parity: box_coder_utils.py:112-141)."""
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        out = PreviousResidualDecoder.decode(box_encodings, anchors)
+        rg = (out[..., 6:7] + np.pi) % (2 * np.pi) - np.pi
+        return jnp.concatenate([out[..., :6], rg, out[..., 7:]], -1)

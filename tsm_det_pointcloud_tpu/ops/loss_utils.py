@@ -252,3 +252,17 @@ def sasa_layer_loss(scores, labels, num_class=3):
     loss = sigmoid_focal_loss(scores, one_hot, cls_weights)
     normalizer = jnp.maximum(cls_weights.sum(), 1.0)
     return loss.sum() / normalizer
+
+
+def softmax_focal_loss(logits, target_idx, weights=None, gamma=2.0,
+                       alpha=0.25, num_classes=None):
+    """Softmax focal CE (parity: loss_utils.SoftmaxFocalClassificationLoss
+    :75-139). logits (..., C), integer targets (...,)."""
+    num_classes = num_classes or logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    one_hot = jax.nn.one_hot(target_idx, num_classes, dtype=logits.dtype)
+    pt = jnp.exp(jnp.sum(logp * one_hot, axis=-1))
+    loss = -alpha * (1.0 - pt) ** gamma * jnp.sum(logp * one_hot, axis=-1)
+    if weights is not None:
+        loss = loss * weights
+    return loss
