@@ -146,21 +146,51 @@ def main():
     first = next(iter(test_loader))
     variables = model.init(jax.random.PRNGKey(0), dict(first), training=False)
 
-    ckpt = args.ckpt or latest_checkpoint(output_dir / "ckpt")
-    if ckpt:
-        loaded = restore_checkpoint(ckpt)
-        variables = dict(variables)
-        for coll in ("params", "batch_stats", "statistics"):
-            if coll in loaded and loaded[coll]:
-                variables[coll] = loaded[coll]
-        logger.info("Loaded checkpoint %s", ckpt)
-    else:
-        logger.warning("No checkpoint found/given - evaluating random init")
+    def load_and_eval(ckpt):
+        nonlocal variables
+        if ckpt:
+            loaded = restore_checkpoint(ckpt)
+            variables = dict(variables)
+            for coll in ("params", "batch_stats", "statistics"):
+                if coll in loaded and loaded[coll]:
+                    variables[coll] = loaded[coll]
+            logger.info("Loaded checkpoint %s", ckpt)
+        else:
+            logger.warning("No checkpoint found/given - evaluating random init")
+        return eval_one_ckpt(
+            model, variables, test_loader, test_set, cfg, logger, eval_dir,
+            save_to_file=args.save_to_file,
+        )
 
-    eval_one_ckpt(
-        model, variables, test_loader, test_set, cfg, logger, eval_dir,
-        save_to_file=args.save_to_file,
+    if not args.eval_all:
+        load_and_eval(args.ckpt or latest_checkpoint(output_dir / "ckpt"))
+        return
+
+    # watcher loop (parity: test.py repeat_eval_ckpt :91-138 - poll the ckpt
+    # dir every 30s, skip already-evaluated epochs, give up after
+    # max_waiting_mins without a new checkpoint)
+    import re as _re
+
+    eval_list = eval_dir / "eval_list_val.txt"
+    evaluated = set(
+        eval_list.read_text().split() if eval_list.exists() else []
     )
+    waited = 0.0
+    while waited < args.max_waiting_mins * 60:
+        latest = latest_checkpoint(output_dir / "ckpt")
+        epoch = (
+            _re.findall(r"checkpoint_epoch_(\d+)", latest)[0]
+            if latest else None
+        )
+        if latest and epoch not in evaluated:
+            load_and_eval(latest)
+            evaluated.add(epoch)
+            with open(eval_list, "a") as f:
+                f.write(epoch + "\n")
+            waited = 0.0
+        else:
+            time.sleep(30)
+            waited += 30
 
 
 if __name__ == "__main__":
