@@ -49,7 +49,12 @@ def _fps_kernel_batched(npoint, weighted, xyz_ref, init_ref, w_ref, out_ref):
         d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
         mindist = jnp.minimum(mindist, d2)
         key = mindist * w if weighted else mindist
-        nxt = jnp.argmax(key, axis=1, keepdims=True).astype(jnp.int32)
+        # first-max index via max + min-lane reductions (in-kernel argmax
+        # trips a Mosaic f32->i32 legalization bug at small shapes)
+        kmax = jnp.max(key, axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(key == kmax, lanes, N), axis=1, keepdims=True
+        ).astype(jnp.int32)
         out_ref[0] = jnp.where(out_lanes == i, nxt, out_ref[0])
         return mindist, nxt
 
@@ -82,7 +87,8 @@ def _fps_kernel(npoint, weighted, xyz_ref, init_ref, w_ref, out_ref):
         d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
         mindist = jnp.minimum(mindist, d2)   # invalid lanes stay at -1
         key = mindist * w if weighted else mindist
-        nxt = jnp.argmax(key[0]).astype(jnp.int32)
+        kmax = jnp.max(key)
+        nxt = jnp.min(jnp.where(key == kmax, lanes, N)).astype(jnp.int32)
         out_ref[0] = jnp.where(out_lanes == i, nxt, out_ref[0])
         return mindist, nxt
 
