@@ -50,19 +50,24 @@ def _kaiming(key, shape, dtype=jnp.float32):
 
 
 class SubMConv(nn.Module):
-    """Submanifold conv + BN + ReLU."""
+    """Submanifold conv + BN + ReLU. Pass `rulebook`
+    (sp.build_subm_rulebook) when several convs share a position set —
+    the probe is the dominant cost."""
     out_channels: int
     kernel_size: int = 3
     use_norm: bool = True
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, st: SparseTensor, training=False) -> SparseTensor:
+    def __call__(self, st: SparseTensor, training=False,
+                 rulebook=None) -> SparseTensor:
         k = self.kernel_size
         K = k ** 3 if isinstance(k, int) else int(np.prod(k))
         cin = st.features.shape[-1]
         w = self.param("kernel", _kaiming, (K, cin, self.out_channels))
-        feats = sp.subm_conv3d(st.features, st.coords, st.valid, w, st.grid)
+        feats = sp.subm_conv3d(
+            st.features, st.coords, st.valid, w, st.grid, rulebook=rulebook
+        )
         if self.use_norm:
             feats = nn.BatchNorm(
                 use_running_average=not training, momentum=0.99, epsilon=1e-3,
@@ -205,22 +210,26 @@ class VoxelBackBone8x(nn.Module):
         if caps is None:
             caps = [V, V, V, V]  # conv2..4, conv_out capacities
 
-        x = SubMConv(16, name="conv_input")(st, training)
-        x1 = SubMConv(16, name="conv1")(x, training)
+        rb0 = sp.build_subm_rulebook(st.coords, st.valid, st.grid)
+        x = SubMConv(16, name="conv_input")(st, training, rulebook=rb0)
+        x1 = SubMConv(16, name="conv1")(x, training, rulebook=rb0)
 
         x2 = SparseConv(32, out_capacity=caps[0], name="conv2_down")(x1, training)
-        x2 = SubMConv(32, name="conv2_a")(x2, training)
-        x2 = SubMConv(32, name="conv2_b")(x2, training)
+        rb2 = sp.build_subm_rulebook(x2.coords, x2.valid, x2.grid)
+        x2 = SubMConv(32, name="conv2_a")(x2, training, rulebook=rb2)
+        x2 = SubMConv(32, name="conv2_b")(x2, training, rulebook=rb2)
 
         x3 = SparseConv(64, out_capacity=caps[1], name="conv3_down")(x2, training)
-        x3 = SubMConv(64, name="conv3_a")(x3, training)
-        x3 = SubMConv(64, name="conv3_b")(x3, training)
+        rb3 = sp.build_subm_rulebook(x3.coords, x3.valid, x3.grid)
+        x3 = SubMConv(64, name="conv3_a")(x3, training, rulebook=rb3)
+        x3 = SubMConv(64, name="conv3_b")(x3, training, rulebook=rb3)
 
         x4 = SparseConv(
             64, padding=(0, 1, 1), out_capacity=caps[2], name="conv4_down"
         )(x3, training)
-        x4 = SubMConv(64, name="conv4_a")(x4, training)
-        x4 = SubMConv(64, name="conv4_b")(x4, training)
+        rb4 = sp.build_subm_rulebook(x4.coords, x4.valid, x4.grid)
+        x4 = SubMConv(64, name="conv4_a")(x4, training, rulebook=rb4)
+        x4 = SubMConv(64, name="conv4_b")(x4, training, rulebook=rb4)
 
         out = SparseConv(
             128, kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=0,

@@ -329,16 +329,27 @@ class VoxelSAModule(nn.Module):
             sp16x = SparseConv(
                 n_en * 2, out_capacity=cap, name="spconv16x"
             )(sp8x, training)
-            h16 = SubMConv(n_en * 2, name="inv16x_a")(sp16x, training)
-            h16 = SubMConv(n_en * 2, name="inv16x_b")(h16, training)
+            rb16 = sp_ops.build_subm_rulebook(
+                sp16x.coords, sp16x.valid, sp16x.grid
+            )
+            h16 = SubMConv(n_en * 2, name="inv16x_a")(sp16x, training,
+                                                      rulebook=rb16)
+            h16 = SubMConv(n_en * 2, name="inv16x_b")(h16, training,
+                                                      rulebook=rb16)
             h16 = h16._replace(features=h16.features + sp16x.features)
             h8 = SparseInverseConv(n_en, name="inv8x")(h16, sp8x, training)
-            h8 = SubMConv(n_en, name="inv8x_a")(h8, training)
-            h8 = SubMConv(n_en, name="inv8x_b")(h8, training)
+            rb8 = sp_ops.build_subm_rulebook(
+                sp8x.coords, sp8x.valid, sp8x.grid
+            )
+            h8 = SubMConv(n_en, name="inv8x_a")(h8, training, rulebook=rb8)
+            h8 = SubMConv(n_en, name="inv8x_b")(h8, training, rulebook=rb8)
             h8 = h8._replace(features=h8.features + sp8x.features)
             h4 = SparseInverseConv(n_en, name="inv4x")(h8, sp4x, training)
-            h4 = SubMConv(n_en, name="inv4x_a")(h4, training)
-            h4 = SubMConv(n_en, name="inv4x_b")(h4, training)
+            rb4 = sp_ops.build_subm_rulebook(
+                sp.coords, sp.valid, sp.grid
+            )
+            h4 = SubMConv(n_en, name="inv4x_a")(h4, training, rulebook=rb4)
+            h4 = SubMConv(n_en, name="inv4x_b")(h4, training, rulebook=rb4)
             h4 = h4._replace(features=h4.features + sp4x.features)
             dest = SubMConv(
                 n_out, kernel_size=1, use_relu=False, name="spconv_out"

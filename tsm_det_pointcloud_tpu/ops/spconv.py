@@ -111,28 +111,62 @@ def _lookup(sorted_keys, query_keys, sentinel, table=None):
     return idx, found
 
 
-def subm_conv3d(features, coords, valid, weight, grid, table=None):
-    """Submanifold sparse conv: output at exactly the input positions.
-
-    features (B, V, Cin), coords (B, V, 3) sorted-by-key, valid (B, V),
-    weight (K, Cin, Cout) with K = prod(kernel_size) taps ordered like
-    kernel_offsets(). `table` (B, prod(grid)) optional precomputed
-    voxel->slot hash (build_hash_table). Returns (B, V, Cout).
-    """
-    K = weight.shape[0]
-    k = round(K ** (1 / 3))
-    offs = jnp.asarray(kernel_offsets(k))  # (K, 3)
+def build_subm_rulebook(coords, valid, grid, kernel_size=3, table=None):
+    """Precompute the (B, K, V) neighbor-slot rulebook (idx, found) for a
+    position set. The table PROBE is the dominant sparse-conv cost
+    (~0.2us per scalar gather); convs sharing a position set must share
+    one rulebook instead of re-probing."""
+    K = kernel_size ** 3 if isinstance(kernel_size, int) else int(
+        np.prod(kernel_size)
+    )
+    offs = jnp.asarray(kernel_offsets(
+        kernel_size if not isinstance(kernel_size, int) else kernel_size
+    ))
     sentinel = int(np.prod(grid))
     if table is None and sentinel <= DENSE_TABLE_MAX_CELLS:
         table = jax.vmap(lambda c, v: build_hash_table(c, v, grid))(
             coords, valid
         )
 
-    def single(f, c, v, t):
-        keys = linearize(c, grid, v)  # sorted by invariant
-        qc = c[None, :, :] + offs[:, None, :]             # (K, V, 3)
+    def single(c, v, t):
+        keys = linearize(c, grid, v)
+        qc = c[None, :, :] + offs[:, None, :]
         qk = linearize(qc, grid, v[None, :])
-        idx, found = _lookup(keys, qk, sentinel, t)       # (K, V)
+        return _lookup(keys, qk, sentinel, t)
+
+    if table is None:
+        return jax.vmap(lambda c, v: single(c, v, None))(coords, valid)
+    return jax.vmap(single)(coords, valid, table)
+
+
+def subm_conv3d(features, coords, valid, weight, grid, table=None,
+                rulebook=None):
+    """Submanifold sparse conv: output at exactly the input positions.
+
+    features (B, V, Cin), coords (B, V, 3) sorted-by-key, valid (B, V),
+    weight (K, Cin, Cout) with K = prod(kernel_size) taps ordered like
+    kernel_offsets(). `table` (B, prod(grid)) optional precomputed
+    voxel->slot hash; `rulebook` optional (idx, found) from
+    build_subm_rulebook (shared across convs on the same position set).
+    Returns (B, V, Cout).
+    """
+    K = weight.shape[0]
+    if K == 1:
+        # 1x1x1 conv: the rulebook is the identity — pure per-voxel GEMM
+        out = jnp.einsum(
+            "bvi,io->bvo", features, weight[0],
+            preferred_element_type=features.dtype,
+        )
+        return jnp.where(valid[..., None], out, 0.0)
+
+    k = round(K ** (1 / 3))
+    offs = jnp.asarray(kernel_offsets(k))  # (K, 3)
+    sentinel = int(np.prod(grid))
+    if rulebook is None:
+        rulebook = build_subm_rulebook(coords, valid, grid, k, table)
+    idx_all, found_all = rulebook
+
+    def single(f, c, v, idx, found):
         cd = compute_dtype()
         fg = f.astype(cd) if cd else f
         wg = weight.astype(cd) if cd else weight
@@ -147,11 +181,7 @@ def subm_conv3d(features, coords, valid, weight, grid, table=None):
         ).astype(f.dtype)
         return jnp.where(v[:, None], out, 0.0)
 
-    if table is None:
-        return jax.vmap(lambda f, c, v: single(f, c, v, None))(
-            features, coords, valid
-        )
-    return jax.vmap(single)(features, coords, valid, table)
+    return jax.vmap(single)(features, coords, valid, idx_all, found_all)
 
 
 def _downsample_out_coords(coords, valid, grid, out_grid, kernel_size, stride,
