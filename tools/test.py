@@ -52,6 +52,8 @@ def eval_one_ckpt(model, variables, loader, dataset, cfg, logger,
                   result_dir, save_to_file=False):
     import jax
 
+    from tsm_det_pointcloud_tpu.parallel.train_state import device_batch
+
     class_names = list(cfg.CLASS_NAMES)
     det_annos = []
 
@@ -67,7 +69,8 @@ def eval_one_ckpt(model, variables, loader, dataset, cfg, logger,
     recall_acc = {}
     for batch in loader:
         t0 = time.time()
-        pred, recall = infer(variables, dict(batch))
+        # calib/frame_id metadata stays on host (load_data_to_gpu parity)
+        pred, recall = infer(variables, device_batch(batch))
         pred = jax.device_get(pred)  # forces execution (axon defers to fetch)
         dt = time.time() - t0
         total_time += dt

@@ -80,7 +80,9 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     }
     from .roi_heads.partA2_head import PartA2FCHead
     from .roi_heads.pointrcnn_head import PointRCNNHead
-    from .roi_heads.pvrcnn_head import PVRCNNHead
+    from .roi_heads.pvrcnn_head import (
+        DSASNetRoIHead, EPointRoIHead, EPointRoIHeadV2, PVRCNNHead,
+    )
     from .roi_heads.second_head import SECONDHead
     from .roi_heads.voxelrcnn_head import VoxelRCNNHead
     roi_head_registry = {
@@ -89,6 +91,9 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         "VoxelRCNNHead": VoxelRCNNHead,
         "PartA2FCHead": PartA2FCHead,
         "SECONDHead": SECONDHead,
+        "EPointRoIHead": EPointRoIHead,
+        "EPointRoIHeadV2": EPointRoIHeadV2,
+        "DSASNetRoIHead": DSASNetRoIHead,
     }
     try:
         from .backbones_3d.spconv_unet import UNetV2

