@@ -155,3 +155,77 @@ def test_waymo_dataset_plumbing(tmp_path):
     ds.infos = ds.infos[:1]
     result_str, res = ds.evaluation(det, ["Vehicle"])
     assert res["Vehicle/AP_L1"] > 99.9
+
+
+def test_multiframe_sweeps(tmp_path):
+    """-4..0 sweep accumulation with pose alignment + time-lag channel."""
+    from tsm_det_pointcloud_tpu.datasets.waymo.waymo_dataset import WaymoDataset
+    from tsm_det_pointcloud_tpu.utils.edict import EDict
+
+    seq = "segment-001"
+    seq_dir = tmp_path / "waymo_processed_data" / seq
+    seq_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    infos = []
+    n_frames = 5
+    for i in range(n_frames):
+        pts = np.zeros((100, 6), np.float32)
+        pts[:, 0] = rng.uniform(5, 50, 100)
+        pts[:, 1] = rng.uniform(-20, 20, 100)
+        pts[:, 2] = rng.uniform(-1, 3, 100)
+        pts[:, 5] = -1
+        np.save(seq_dir / ("%04d.npy" % i), pts)
+        pose = np.eye(4)
+        pose[0, 3] = 2.0 * i  # ego moves +x 2m per frame
+        infos.append({
+            "point_cloud": {"lidar_sequence": seq, "sample_idx": i},
+            "frame_id": f"{seq}_{i}",
+            "pose": pose,
+            "sequence_len": n_frames,
+            "annos": {
+                "name": np.asarray(["Vehicle"], object),
+                "gt_boxes_lidar": np.asarray(
+                    [[10.0, 0, 1, 4.5, 2.0, 1.8, 0.2]], np.float32
+                ),
+                "num_points_in_gt": np.asarray([30]),
+                "difficulty": np.asarray([0]),
+            },
+        })
+    import pickle as pkl
+    with open(seq_dir / f"{seq}.pkl", "wb") as f:
+        pkl.dump(infos, f)
+    (tmp_path / "ImageSets").mkdir()
+    (tmp_path / "ImageSets" / "train.txt").write_text(seq + "\n")
+
+    cfg = EDict({
+        "DATASET": "WaymoDataset",
+        "DATA_SPLIT": {"train": "train", "test": "train"},
+        "SAMPLED_INTERVAL": {"train": 1, "test": 1},
+        "SEQUENCE_CONFIG": {"ENABLED": True, "SAMPLE_OFFSET": [-4, 0]},
+        "POINT_CLOUD_RANGE": [-80, -80, -5, 80, 80, 5],
+        "MAX_POINTS": 600,
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+            "src_feature_list": ["x", "y", "z", "intensity", "elongation",
+                                 "timestamp"],
+        },
+        "DATA_PROCESSOR": [
+            {"NAME": "mask_points_and_boxes_outside_range",
+             "REMOVE_OUTSIDE_BOXES": True},
+            {"NAME": "sample_points",
+             "NUM_POINTS": {"train": 600, "test": 600}},
+        ],
+        "DATA_AUGMENTOR": {"DISABLE_AUG_LIST": ["placeholder"],
+                           "AUG_CONFIG_LIST": []},
+    })
+    ds = WaymoDataset(cfg, class_names=["Vehicle"], training=True,
+                      root_path=tmp_path)
+    item = ds[4]  # last frame: 5 sweeps available
+    assert item["points"].shape == (600, 5)
+    # time-lag channel spans 0 .. 0.4
+    lags = np.unique(np.round(item["points"][:, 4], 2))
+    assert 0.0 in lags and lags.max() >= 0.3
+    # frame 0 has only itself
+    item0 = ds[0]
+    assert np.allclose(item0["points"][:, 4].max(), 0.0)

@@ -67,6 +67,47 @@ class WaymoDataset(DatasetTemplate):
         points_all[:, 3] = np.tanh(points_all[:, 3])
         return points_all
 
+    def get_sequence_data(self, info, sequence_name, sample_idx,
+                          sweep_range=(-4, 0)):
+        """Multi-frame sweep accumulation (north-star: the reference ships
+        only gt-db naming for -4..0 sweeps, README.md:87-89; here past
+        frames are ego-aligned by pose and tagged with a time-lag channel
+        like the official multi-frame WaymoDataset)."""
+        points_list = []
+        pose_cur = np.asarray(
+            info.get("pose", np.eye(4)), np.float64
+        ).reshape(4, 4)
+        seq_len = info.get("sequence_len", sample_idx + 1)
+        for offset in range(sweep_range[0], sweep_range[1] + 1):
+            idx = sample_idx + offset
+            if idx < 0 or idx >= seq_len:
+                continue
+            try:
+                pts = self.get_lidar(sequence_name, idx)
+            except FileNotFoundError:
+                continue
+            if offset != 0:
+                pose_prev = self._pose_of(sequence_name, idx)
+                if pose_prev is not None:
+                    rel = np.linalg.inv(pose_cur) @ pose_prev
+                    xyz1 = np.concatenate(
+                        [pts[:, :3], np.ones((len(pts), 1))], 1
+                    )
+                    pts = pts.copy()
+                    pts[:, :3] = (xyz1 @ rel.T)[:, :3]
+            lag = np.full((len(pts), 1), 0.1 * -offset, np.float32)
+            points_list.append(np.concatenate([pts, lag], 1))
+        return np.concatenate(points_list, 0) if points_list else None
+
+    def _pose_of(self, sequence_name, sample_idx):
+        for info in self.infos:
+            pc = info["point_cloud"]
+            if (pc["lidar_sequence"] == sequence_name
+                    and pc["sample_idx"] == sample_idx
+                    and "pose" in info):
+                return np.asarray(info["pose"], np.float64).reshape(4, 4)
+        return None
+
     def __len__(self):
         if self._merge_all_iters_to_one_epoch:
             return len(self.infos) * self.total_epochs
@@ -79,7 +120,14 @@ class WaymoDataset(DatasetTemplate):
         pc_info = info["point_cloud"]
         sequence_name = pc_info["lidar_sequence"]
         sample_idx = pc_info["sample_idx"]
-        points = self.get_lidar(sequence_name, sample_idx)
+        seq_cfg = self.dataset_cfg.get("SEQUENCE_CONFIG", {})
+        if seq_cfg.get("ENABLED", False):
+            points = self.get_sequence_data(
+                info, sequence_name, sample_idx,
+                sweep_range=tuple(seq_cfg.get("SAMPLE_OFFSET", [-4, 0])),
+            )
+        else:
+            points = self.get_lidar(sequence_name, sample_idx)
 
         input_dict = {
             "points": points,
