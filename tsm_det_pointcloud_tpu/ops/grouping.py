@@ -61,8 +61,16 @@ def _ball_query_single(new_xyz, xyz, valid, min_r2, max_r2, nsample, chunk):
     q = jnp.pad(new_xyz, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
     neg_big = jnp.asarray(-1e30, xyz.dtype)
 
+    x2 = jnp.sum(xyz * xyz, axis=-1)            # (N,)
+
     def one_chunk(qc):
-        d2 = jnp.sum((qc[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+        # ||q||^2 + ||x||^2 - 2 q.x — the cross term rides the MXU instead
+        # of materializing a (chunk, N, 3) broadcast on the VPU
+        q2 = jnp.sum(qc * qc, axis=-1)
+        d2 = q2[:, None] + x2[None, :] - 2.0 * (
+            qc @ xyz.T
+        )
+        d2 = jnp.maximum(d2, 0.0)
         mask = (d2 < max_r2) & valid[None, :]
         if min_r2 > 0:
             mask &= d2 >= min_r2
@@ -113,8 +121,13 @@ def ball_query_multi(radius_pairs, nsamples, xyz, new_xyz, valid_mask=None,
     def single(nx, x, v):
         q = jnp.pad(nx, ((0, pad), (0, 0))).reshape(-1, c, 3)
 
+        x2 = jnp.sum(x * x, axis=-1)
+
         def one_chunk(qc):
-            d2 = jnp.sum((qc[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+            q2 = jnp.sum(qc * qc, axis=-1)
+            d2 = jnp.maximum(
+                q2[:, None] + x2[None, :] - 2.0 * (qc @ x.T), 0.0
+            )
             base = jnp.where(v[None, :], -d2, neg_big)
             outs = []
             for (min_r, max_r), ns in zip(radius_pairs, nsamples):

@@ -192,11 +192,16 @@ def voxel_query(new_xyz, new_coords_zyx, centroid_xyz, centroid_coords_zyx,
     max_r2 = float(radius) ** 2
     min_r2 = float(min_radius) ** 2
 
+    c2 = jnp.sum(centroid_xyz * centroid_xyz, axis=-1)
+
     def one_chunk(args):
         from .topk import top_k
 
         x, coord = args
-        d2 = jnp.sum((x[:, None, :] - centroid_xyz[None, :, :]) ** 2, axis=-1)
+        q2 = jnp.sum(x * x, axis=-1)
+        d2 = jnp.maximum(
+            q2[:, None] + c2[None, :] - 2.0 * (x @ centroid_xyz.T), 0.0
+        )
         dc = jnp.abs(coord[:, None, :] - centroid_coords_zyx[None, :, :])
         mask = (
             (d2 < max_r2)
