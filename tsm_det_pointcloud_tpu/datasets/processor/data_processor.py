@@ -119,6 +119,24 @@ class DataProcessor:
             return lambda d, r: self.repository_info(d, config, r)
         return data_dict
 
+    def downsample_depth_map(self, data_dict=None, config=None, rng=None):
+        """Block-mean downscale of the CaDDN depth map (parity:
+        data_processor.py:203-212, skimage downscale_local_mean — plain
+        numpy reshape-mean here, edge blocks zero-padded like skimage)."""
+        if data_dict is None:
+            self.depth_downsample_factor = int(config.DOWNSAMPLE_FACTOR)
+            return lambda d, r: self.downsample_depth_map(d, config, r)
+        f = self.depth_downsample_factor
+        dm = np.asarray(data_dict["depth_maps"], np.float32)
+        h, w = dm.shape[:2]
+        ph, pw = (-h) % f, (-w) % f
+        if ph or pw:
+            dm = np.pad(dm, ((0, ph), (0, pw)))
+        data_dict["depth_maps"] = (
+            dm.reshape((h + ph) // f, f, (w + pw) // f, f).mean(axis=(1, 3))
+        )
+        return data_dict
+
     def calculate_grid_size(self, data_dict=None, config=None, rng=None):
         if data_dict is None:
             self.voxel_size = np.asarray(config.VOXEL_SIZE, np.float32)

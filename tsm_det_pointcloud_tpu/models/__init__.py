@@ -36,7 +36,10 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     from .backbones_3d.vfe import (
         DynamicMeanVFE, DynamicPillarVFE, MeanVFE, MeanDensityVFE, PillarVFE,
     )
-    from .dense_heads.anchor_head import AnchorHeadMulti, AnchorHeadSingle
+    from .dense_heads.anchor_head import (
+        AnchorHeadMulti, AnchorHeadMultiCls, AnchorHeadSingle,
+        AnchorHeadSingleCls,
+    )
 
     from .backbones_3d.vfe import SPVFE, VPCVFE
     vfe_registry = {
@@ -62,7 +65,9 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         "SparsePointBackbone": SparsePointBackbone,
     }
     dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle,
-                           "AnchorHeadMulti": AnchorHeadMulti}
+                           "AnchorHeadMulti": AnchorHeadMulti,
+                           "AnchorHeadSingleCls": AnchorHeadSingleCls,
+                           "AnchorHeadMultiCls": AnchorHeadMultiCls}
     backbone3d_registry = {}
     from .dense_heads.point_head_box import PointHeadBox
     from .dense_heads.point_head_simple import PointHeadSimple

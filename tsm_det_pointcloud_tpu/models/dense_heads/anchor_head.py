@@ -410,3 +410,133 @@ class AnchorHeadMulti(AnchorHeadSingle):
                 self.shared_conv(batch_dict["spatial_features_2d"])
             )
         return super().__call__(batch_dict, training=training)
+
+
+def _cls_only_loss(head, batch_dict):
+    """Focal classification loss alone (the _cls head variants drop the
+    box/dir branches; parity: anchor_head_single_cls.py get_loss)."""
+    targets = head.assign(batch_dict["gt_boxes"], batch_dict["gt_boxes_mask"])
+    cls_labels = targets["box_cls_labels"]
+    cls_preds = batch_dict["cls_preds"]
+    cared = cls_labels >= 0
+    positives = cls_labels > 0
+    negatives = cls_labels == 0
+    cls_weights = (negatives * 1.0 + positives * 1.0).astype(jnp.float32)
+    pos_normalizer = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0)
+    cls_weights = cls_weights / pos_normalizer
+    cls_targets = jnp.where(cared, cls_labels, 0)
+    one_hot = jax.nn.one_hot(cls_targets, head.num_class + 1)[..., 1:]
+    lw = head.model_cfg.get("LOSS_CONFIG", {}).get("LOSS_WEIGHTS", {})
+    cls_loss = loss_utils.sigmoid_focal_loss(
+        cls_preds, one_hot, cls_weights
+    ).sum() / batch_dict["batch_size"] * lw.get("cls_weight", 1.0)
+    return cls_loss, {"rpn_loss_cls": cls_loss, "rpn_loss": cls_loss}
+
+
+class AnchorHeadSingleCls(AnchorHeadSingle):
+    """Classification-only auxiliary RPN over the stride-8 sparse pyramid
+    level (parity: anchor_head_single_cls.py:8-68). The reference variant is
+    experimental dead code as shipped — it indexes
+    multi_scale_3d_features['scale4'] (a key no backbone emits) with a
+    hard-coded 160-ch conv and its box branch commented out. Here it reads
+    'x_conv4', collapses z into channels, and predicts per-anchor class
+    logits only; configs must set feature_map_stride to the x_conv4 stride.
+    """
+    model_cfg: dict = None
+    input_channels: int = None
+    num_class: int = None
+    class_names: tuple = None
+    grid_size: tuple = None
+    point_cloud_range: tuple = None
+    predict_boxes_when_training: bool = False
+
+    def __call__(self, batch_dict, training=False):
+        from ...ops import spconv as sp
+
+        t = batch_dict["multi_scale_3d_features"]["x_conv4"]
+        dense = sp.sparse_to_dense(t.features, t.coords, t.valid, t.grid)
+        B, nz, ny, nx, C = dense.shape
+        x = dense.transpose(0, 2, 3, 1, 4).reshape(B, ny, nx, nz * C)
+        batch_dict["cls_preds"] = self.conv_cls(x).reshape(
+            B, -1, self.num_class
+        )
+        return batch_dict
+
+    def loss(self, batch_dict):
+        return _cls_only_loss(self, batch_dict)
+
+
+class AnchorHeadMultiCls(AnchorHeadSingle):
+    """Cls-only grouped multi-head RPN (parity: anchor_head_multi_cls.py:
+    9-300 — the reference keeps only the classification branch of
+    AnchorHeadMulti; box/dir are commented out). Each RPN group owns a
+    contiguous slice of class_names (RPN_HEAD_CFGS order must follow
+    CLASS_NAMES, as the reference asserts) and its logits are embedded into
+    the global class axis at the group's column offset."""
+    model_cfg: dict = None
+    input_channels: int = None
+    num_class: int = None
+    class_names: tuple = None
+    grid_size: tuple = None
+    point_cloud_range: tuple = None
+    predict_boxes_when_training: bool = False
+
+    def setup(self):
+        super().setup()
+        cfg = self.model_cfg
+        head_cfgs = cfg.get("RPN_HEAD_CFGS")
+        if head_cfgs:
+            self.group_classes = [list(h["HEAD_CLS_NAME"]) for h in head_cfgs]
+        else:
+            self.group_classes = [[c] for c in self.class_names]
+        flat = [c for g in self.group_classes for c in g]
+        assert flat == list(self.class_names), (
+            "RPN_HEAD_CFGS must partition CLASS_NAMES in order"
+        )
+        shared_ch = int(cfg.get("SHARED_CONV_NUM_FILTER", 0) or 0)
+        self.shared_conv_m = (
+            nn.Conv(shared_ch, (3, 3), name="shared_conv") if shared_ch
+            else None
+        )
+        # anchors per class at one location (same for every class cfg here)
+        a_per_class = self.num_anchors_per_location // self.num_class
+        convs = []
+        for gi, names in enumerate(self.group_classes):
+            convs.append(nn.Conv(
+                a_per_class * len(names), (1, 1), name=f"conv_cls_g{gi}",
+                bias_init=nn.initializers.constant(
+                    -float(np.log((1 - 0.01) / 0.01))
+                ),
+            ))
+        self.group_convs = convs
+        self._a_per_class = a_per_class
+
+    def __call__(self, batch_dict, training=False):
+        x = batch_dict["spatial_features_2d"]
+        if self.shared_conv_m is not None:
+            x = nn.relu(self.shared_conv_m(x))
+        B, H, W, _ = x.shape
+        per_loc = []  # per-location logits, global class axis
+        col = 0
+        for names, conv in zip(self.group_classes, self.group_convs):
+            n_g = len(names)
+            a = self._a_per_class
+            # channel layout is class-major to match generate_anchors'
+            # per-location ordering ([class0's a anchors, class1's, ...])
+            g = conv(x).reshape(B, H * W, n_g * a)
+            # one column per own class, zeros elsewhere (reference scatters
+            # group logits into a (num_class+1)-wide one-hot layout)
+            full = jnp.zeros((B, H * W, n_g * a, self.num_class), g.dtype)
+            rows = jnp.arange(n_g * a)
+            cols = col + jnp.repeat(jnp.arange(n_g), a)
+            full = full.at[:, :, rows, cols].set(g)
+            per_loc.append(full)
+            col += n_g
+        cls_preds = jnp.concatenate(per_loc, axis=2).reshape(
+            B, -1, self.num_class
+        )
+        batch_dict["cls_preds"] = cls_preds
+        return batch_dict
+
+    def loss(self, batch_dict):
+        return _cls_only_loss(self, batch_dict)
