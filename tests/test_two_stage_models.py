@@ -248,3 +248,17 @@ def test_secondnet_iou_e2e():
     pred, _ = model.apply(variables, ev,
                           method=lambda m, b_: m.post_processing(b_))
     assert np.isfinite(np.asarray(pred["pred_boxes"])).all()
+
+
+def test_pointrcnn_roi_sa_stack_e2e():
+    """SA_CONFIG in-RoI encoder path (npoints .. -1 GroupAll terminal)."""
+    cfg = pointrcnn_cfg()
+    cfg["ROI_HEAD"]["SA_CONFIG"] = EDict({
+        "NPOINTS": [16, -1],
+        "RADIUS": [0.4, 100],
+        "NSAMPLE": [8, 8],
+        "MLPS": [[16, 16], [16, 32]],
+    })
+    model = build_network(cfg, num_class=1, dataset=META_POINT)
+    out, pred = _train_and_eval(model, batch())
+    assert "rcnn_cls_loss" in out["tb_dict"]

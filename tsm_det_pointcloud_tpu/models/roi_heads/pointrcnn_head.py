@@ -91,10 +91,49 @@ class PointRCNNHead(nn.Module):
 
         x = jnp.concatenate([canon, g_feat], -1)
         B, R = x.shape[:2]
-        h = SharedMLP(list(cfg["XYZ_UP_LAYER"]), name="xyz_up")(
+        h_pts = SharedMLP(list(cfg["XYZ_UP_LAYER"]), name="xyz_up")(
             x, training, mask=slot_ok[..., None]
-        )
-        h = jnp.where(slot_ok[..., None], h, -1e9).max(axis=2)  # (B, R, C)
+        )  # (B, R, S, C)
+
+        sa_cfg = cfg.get("SA_CONFIG")
+        if sa_cfg:
+            # per-RoI canonical-frame PointNet++ encoder (parity:
+            # pointrcnn_head.py SA_CONFIG npoints 128/32/-1): flatten the
+            # RoI axis into the batch and chain single-scale SA modules;
+            # npoint == -1 is the reference's GroupAll terminal layer,
+            # realised as an MLP + masked max over the surviving points.
+            from ..backbones_3d.pointnet2_modules import PointnetSAModuleMSG
+
+            xyz_f = canon[..., :3].reshape(B * R, S, 3)
+            f = h_pts.reshape(B * R, S, -1)
+            v = (slot_ok & ~empty[..., None]).reshape(B * R, S)
+            h = None
+            for i, (np_i, r_i, ns_i, mlp_i) in enumerate(zip(
+                sa_cfg["NPOINTS"], sa_cfg["RADIUS"], sa_cfg["NSAMPLE"],
+                sa_cfg["MLPS"],
+            )):
+                if int(np_i) == -1:
+                    g = jnp.concatenate([xyz_f, f], -1)
+                    g = SharedMLP(list(mlp_i), name=f"roi_sa{i}")(
+                        g, training, mask=v[..., None]
+                    )
+                    h = jnp.where(v[..., None], g, -1e9).max(axis=1)
+                    h = jnp.where(
+                        v.any(axis=1, keepdims=True), h, 0.0
+                    ).reshape(B, R, -1)
+                    break
+                xyz_f, f, v = PointnetSAModuleMSG(
+                    npoint=int(np_i), radii=[float(r_i)],
+                    nsamples=[int(ns_i)], mlps=[list(mlp_i)],
+                    name=f"roi_sa{i}",
+                )(xyz_f, f, v, training)
+            if h is None:  # no GroupAll terminal: pool the last SA level
+                h = jnp.where(v[..., None], f, -1e9).max(axis=1)
+                h = jnp.where(
+                    v.any(axis=1, keepdims=True), h, 0.0
+                ).reshape(B, R, -1)
+        else:
+            h = jnp.where(slot_ok[..., None], h_pts, -1e9).max(axis=2)
         h = jnp.where(~empty[..., None], h, 0.0)
 
         for k, c in enumerate(cfg["SHARED_FC"]):
