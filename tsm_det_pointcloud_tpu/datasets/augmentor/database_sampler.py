@@ -39,6 +39,26 @@ class DataBaseSampler:
         for func_name, val in sampler_cfg.get("PREPARE", {}).items():
             self.db_infos = getattr(self, func_name)(self.db_infos, val)
 
+        # global-npy shared-memory mode (parity: database_sampler.py:71-89 —
+        # all gt points in ONE array published to /dev/shm; per-object infos
+        # carry global_data_offset [start, end) row slices)
+        self.use_shared_memory = sampler_cfg.get("USE_SHARED_MEMORY", False)
+        self.gt_database_data_key = None
+        if self.use_shared_memory:
+            from .. import shared_memory as shm
+
+            db_data_paths = list(sampler_cfg.get("DB_DATA_PATH", []))
+            assert len(db_data_paths) == 1, "single DB_DATA_PATH supported"
+            if shm.available():
+                key = db_data_paths[0]
+                if not shm.sa_exists(key):
+                    shm.sa_create(
+                        key, np.load(self.root_path / db_data_paths[0])
+                    )
+                self.gt_database_data_key = key
+            else:
+                self.use_shared_memory = False
+
         self.use_road_plane = sampler_cfg.get("USE_ROAD_PLANE", False)
         self.limit_whole_scene = sampler_cfg.get("LIMIT_WHOLE_SCENE", False)
         self.sample_groups = {}
@@ -160,13 +180,25 @@ class DataBaseSampler:
         else:
             mv_height = np.zeros(sampled_boxes.shape[0], np.float32)
 
+        db_data = None
+        if self.use_shared_memory and self.gt_database_data_key:
+            from .. import shared_memory as shm
+
+            db_data = shm.sa_attach(self.gt_database_data_key, copy=False)
+
         obj_points_list = []
         for info, box, mh in zip(sampled_infos_all, sampled_boxes, mv_height):
-            file_path = self.root_path / info["path"]
             num_feats = self.sampler_cfg.get("NUM_POINT_FEATURES", 4)
-            obj_points = np.fromfile(str(file_path), dtype=np.float32).reshape(
-                -1, num_feats
-            ).copy()
+            if db_data is not None:
+                start, end = (int(x) for x in info["global_data_offset"])
+                obj_points = np.array(db_data[start:end], np.float32).reshape(
+                    -1, num_feats
+                )
+            else:
+                file_path = self.root_path / info["path"]
+                obj_points = np.fromfile(
+                    str(file_path), dtype=np.float32
+                ).reshape(-1, num_feats).copy()
             obj_points[:, :3] += info["box3d_lidar"][:3].astype(np.float32)
             obj_points[:, 2] -= mh
             obj_points_list.append(obj_points)

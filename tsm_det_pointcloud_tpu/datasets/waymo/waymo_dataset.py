@@ -40,6 +40,14 @@ class WaymoDataset(DatasetTemplate):
         )
         self.infos = []
         self.include_waymo_data(self.mode)
+        self.use_shared_memory = (
+            self.dataset_cfg.get("USE_SHARED_MEMORY", False) and self.training
+        )
+        self.shared_memory_file_limit = int(self.dataset_cfg.get(
+            "SHARED_MEMORY_FILE_LIMIT", 0x7FFFFFFF
+        ))
+        if self.use_shared_memory:
+            self.load_data_to_shared_memory()
 
     def include_waymo_data(self, mode):
         if self.logger:
@@ -58,7 +66,55 @@ class WaymoDataset(DatasetTemplate):
                 "Total samples for Waymo dataset: %d" % len(self.infos)
             )
 
+    def load_data_to_shared_memory(self):
+        """Host-shared preload of the training frames (parity:
+        waymo_dataset.py:77-98; rank-strided over pod processes)."""
+        from .. import shared_memory as shm
+
+        if not shm.available():
+            self.use_shared_memory = False
+            return
+        rank, world = self._dist_info()
+        infos = self.infos[: self.shared_memory_file_limit]
+        for info in infos[rank::world]:
+            pc = info["point_cloud"]
+            key = f"{pc['lidar_sequence']}___{pc['sample_idx']}"
+            if shm.sa_exists(key):
+                continue
+            shm.sa_create(key, self._load_lidar_file(
+                pc["lidar_sequence"], pc["sample_idx"]
+            ))
+        if self.logger:
+            self.logger.info("Training data has been saved to shared memory")
+
+    def clean_shared_memory(self):
+        from .. import shared_memory as shm
+
+        rank, world = self._dist_info()
+        infos = self.infos[: self.shared_memory_file_limit]
+        for info in infos[rank::world]:
+            pc = info["point_cloud"]
+            shm.sa_delete(f"{pc['lidar_sequence']}___{pc['sample_idx']}")
+
+    @staticmethod
+    def _dist_info():
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
+
     def get_lidar(self, sequence_name, sample_idx):
+        if getattr(self, "use_shared_memory", False):
+            from .. import shared_memory as shm
+
+            key = f"{sequence_name}___{sample_idx}"
+            if shm.sa_exists(key):
+                return shm.sa_attach(key, copy=True)
+        return self._load_lidar_file(sequence_name, sample_idx)
+
+    def _load_lidar_file(self, sequence_name, sample_idx):
         lidar_file = self.data_path / sequence_name / ("%04d.npy" % sample_idx)
         point_features = np.load(lidar_file)  # (N, 6): xyz, intensity, elong, NLZ
         points_all, nlz_flag = point_features[:, 0:5], point_features[:, 5]
