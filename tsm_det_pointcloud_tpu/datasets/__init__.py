@@ -3,10 +3,21 @@
 The reference wraps torch DataLoader + DistributedSampler; here a dependency-
 free loader with an epoch-seeded deterministic permutation (same contract as
 the reference's custom DistributedSampler, datasets/__init__.py:24-44:
-pad-to-divisible then rank-strided slice) and background-thread prefetch.
+pad-to-divisible then rank-strided slice). Prefetch modes:
+
+  * workers=0: a single background thread (cheap pipelines, tests).
+  * workers>0: a forked process pool, the analogue of torch DataLoader
+    num_workers (reference train.py --workers). gt-sampling copy-paste +
+    augmentation are host-python and would otherwise input-bind the chip
+    (SURVEY.md §7.4 hard part 6). Each batch is loaded + collated inside
+    one worker; at most `prefetch * workers` batches are in flight.
+    Per-sample numpy RNG is seeded from (seed, epoch, sample index) so the
+    stream is deterministic regardless of worker scheduling — a documented
+    improvement over the reference's per-worker seeding.
 """
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 
@@ -38,7 +49,7 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 seed=0, num_shards=1, shard_id=0, prefetch=2):
+                 seed=0, num_shards=1, shard_id=0, prefetch=2, workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +58,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.prefetch = prefetch
+        self.workers = workers
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -82,6 +94,10 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
+        if self.workers > 0:
+            yield from self._iter_pool(batches)
+            return
+
         if self.prefetch <= 0:
             for b in batches:
                 yield self._load(b)
@@ -105,9 +121,57 @@ class DataLoader:
                 break
             yield item
 
+    def _iter_pool(self, batches):
+        """Process-pool prefetch: fork inherits the dataset (infos, gt-db
+        handles) copy-on-write; a fresh pool per epoch picks up set_epoch
+        state. Results are yielded in order with a bounded window."""
+        ctx = multiprocessing.get_context("fork")
+        window = max(self.prefetch, 1) * self.workers
+        with ctx.Pool(self.workers, initializer=_pool_init,
+                      initargs=(self.dataset, self.seed, self.epoch)) as pool:
+            pending = []
+            it = iter(batches)
+            try:
+                while True:
+                    while len(pending) < window:
+                        b = next(it, None)
+                        if b is None:
+                            break
+                        pending.append(
+                            pool.apply_async(_pool_load, (np.asarray(b),))
+                        )
+                    if not pending:
+                        break
+                    yield pending.pop(0).get()
+            finally:
+                pool.terminate()
+
     def _load(self, index_batch):
         samples = [self.dataset[int(i)] for i in index_batch]
         return self.dataset.collate_batch(samples)
+
+
+_POOL_STATE = {}
+
+
+def _pool_init(dataset, seed, epoch):
+    _POOL_STATE["dataset"] = dataset
+    _POOL_STATE["seed"] = seed
+    _POOL_STATE["epoch"] = epoch
+
+
+def _pool_load(index_batch):
+    ds = _POOL_STATE["dataset"]
+    samples = []
+    for i in index_batch:
+        # Deterministic per-sample stream independent of worker scheduling.
+        np.random.seed(
+            np.random.SeedSequence(
+                [_POOL_STATE["seed"], _POOL_STATE["epoch"], int(i)]
+            ).generate_state(1)[0]
+        )
+        samples.append(ds[int(i)])
+    return ds.collate_batch(samples)
 
 
 def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
@@ -129,6 +193,6 @@ def build_dataloader(dataset_cfg, class_names, batch_size, dist=False,
     dataloader = DataLoader(
         dataset, batch_size=batch_size, shuffle=training,
         drop_last=training, seed=seed or 0,
-        num_shards=num_shards, shard_id=shard_id,
+        num_shards=num_shards, shard_id=shard_id, workers=workers,
     )
     return dataset, dataloader, dataloader

@@ -86,6 +86,43 @@ def compute_dtype():
     )
 
 
+def _use_pallas_gather():
+    """The Pallas one-hot implicit-GEMM path (spconv_pallas.py) replaces
+    XLA's serialized row gather on TPU (~2.7x per 27-tap conv). Kill
+    switch: TSM_NO_PALLAS_SPCONV=1."""
+    import os
+
+    if os.environ.get("TSM_NO_PALLAS_SPCONV", ""):
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
+def _gather_conv(features, idx, found, weight, out_valid):
+    """Batched gather+GEMM core shared by all three conv flavors.
+    features (B, V, C); idx/found (B, K, Vo); weight (K, Cin, Cout);
+    out_valid (B, Vo). Dispatches to the Pallas implicit-GEMM kernel on
+    TPU, XLA gather elsewhere."""
+    if _use_pallas_gather():
+        from . import spconv_pallas
+
+        idxm = jnp.where(found, idx, -1)
+        out = spconv_pallas.gather_matmul(features, idxm, weight)
+        return jnp.where(out_valid[..., None], out, 0.0)
+
+    cd = compute_dtype()
+    wg = weight.astype(cd) if cd else weight
+
+    def single(f, i, fd, ov):
+        fg = f.astype(cd) if cd else f
+        gathered = jnp.where(fd[..., None], fg[i], 0.0)  # (K, Vo, Cin)
+        out = jnp.einsum(
+            "kvi,kio->vo", gathered, wg, preferred_element_type=f.dtype
+        ).astype(f.dtype)
+        return jnp.where(ov[:, None], out, 0.0)
+
+    return jax.vmap(single)(features, idx, found, out_valid)
+
+
 def build_hash_table(coords_zyx, valid, grid):
     """(V, 3) sorted coords -> (prod(grid),) int32 voxel->slot table
     (-1 = empty). Costs one scatter; amortize across all convs that share
@@ -160,28 +197,12 @@ def subm_conv3d(features, coords, valid, weight, grid, table=None,
         return jnp.where(valid[..., None], out, 0.0)
 
     k = round(K ** (1 / 3))
-    offs = jnp.asarray(kernel_offsets(k))  # (K, 3)
-    sentinel = int(np.prod(grid))
     if rulebook is None:
         rulebook = build_subm_rulebook(coords, valid, grid, k, table)
     idx_all, found_all = rulebook
-
-    def single(f, c, v, idx, found):
-        cd = compute_dtype()
-        fg = f.astype(cd) if cd else f
-        wg = weight.astype(cd) if cd else weight
-        gathered = jnp.where(
-            (found & v[None, :])[..., None], fg[idx], 0.0
-        )                                                  # (K, V, Cin)
-        # one (V, K*Cin) x (K*Cin, Cout) MXU contraction instead of K small
-        # GEMMs — the einsum contracts both tap and channel axes at once.
-        out = jnp.einsum(
-            "kvi,kio->vo", gathered, wg,
-            preferred_element_type=f.dtype,
-        ).astype(f.dtype)
-        return jnp.where(v[:, None], out, 0.0)
-
-    return jax.vmap(single)(features, coords, valid, idx_all, found_all)
+    return _gather_conv(
+        features, idx_all, found_all & valid[:, None, :], weight, valid
+    )
 
 
 def _downsample_out_coords(coords, valid, grid, out_grid, kernel_size, stride,
@@ -263,7 +284,7 @@ def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
             coords, valid
         )
 
-    def single(f, c, v, t):
+    def single(c, v, t):
         in_keys = linearize(c, grid, v)
         oc, ov = _downsample_out_coords(
             c, v, grid, out_grid, kernel_size, stride, padding, out_capacity
@@ -274,20 +295,15 @@ def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
         qc = oc[None, :, :] * st_j - pd_j + taps[:, None, :]
         qk = linearize(qc, grid, ov[None, :])
         idx, found = _lookup(in_keys, qk, sentinel, t)     # (K, Vo)
-        cd = compute_dtype()
-        fg = f.astype(cd) if cd else f
-        wg = weight.astype(cd) if cd else weight
-        gathered = jnp.where((found & ov[None, :])[..., None], fg[idx], 0.0)
-        out = jnp.einsum(
-            "kvi,kio->vo", gathered, wg, preferred_element_type=f.dtype
-        ).astype(f.dtype)
-        return jnp.where(ov[:, None], out, 0.0), oc, ov
+        return idx, found & ov[None, :], oc, ov
 
     if table is None:
-        return jax.vmap(lambda f, c, v: single(f, c, v, None))(
-            features, coords, valid
+        idx, found, oc, ov = jax.vmap(lambda c, v: single(c, v, None))(
+            coords, valid
         )
-    return jax.vmap(single)(features, coords, valid, table)
+    else:
+        idx, found, oc, ov = jax.vmap(single)(coords, valid, table)
+    return _gather_conv(features, idx, found, weight, ov), oc, ov
 
 
 def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
@@ -315,7 +331,7 @@ def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
             lambda c, v: build_hash_table(c, v, coarse_grid)
         )(coarse_coords, coarse_valid)
 
-    def single(cf, cc, cv, fc, fv, t):
+    def single(cc, cv, fc, fv, t):
         ckeys = linearize(cc, coarse_grid, cv)
         taps = offs - lo[None, :]                          # (K, 3) in [0, k)
         # fine o gets coarse c where o = c*s - p + tap  =>  c = (o + p - tap)/s
@@ -324,26 +340,17 @@ def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
         exact = jnp.all(c_cand * st_j == num, axis=-1)     # (K, Vf)
         qk = linearize(c_cand, coarse_grid, fv[None, :] & exact)
         idx, found = _lookup(ckeys, qk, sentinel, t)
-        cd = compute_dtype()
-        fg = cf.astype(cd) if cd else cf
-        wg = weight.astype(cd) if cd else weight
-        gathered = jnp.where(
-            (found & fv[None, :] & exact)[..., None], fg[idx], 0.0
-        )
-        out = jnp.einsum(
-            "kvi,kio->vo", gathered, wg, preferred_element_type=cf.dtype
-        ).astype(cf.dtype)
-        return jnp.where(fv[:, None], out, 0.0)
+        return idx, found & fv[None, :] & exact
 
     if table is None:
-        return jax.vmap(
-            lambda cf, cc, cv, fc, fv: single(cf, cc, cv, fc, fv, None)
-        )(coarse_features, coarse_coords, coarse_valid, fine_coords,
-          fine_valid)
-    return jax.vmap(single)(
-        coarse_features, coarse_coords, coarse_valid, fine_coords,
-        fine_valid, table,
-    )
+        idx, found = jax.vmap(
+            lambda cc, cv, fc, fv: single(cc, cv, fc, fv, None)
+        )(coarse_coords, coarse_valid, fine_coords, fine_valid)
+    else:
+        idx, found = jax.vmap(single)(
+            coarse_coords, coarse_valid, fine_coords, fine_valid, table
+        )
+    return _gather_conv(coarse_features, idx, found, weight, fine_valid)
 
 
 def sparse_to_dense(features, coords, valid, grid):
