@@ -1,0 +1,126 @@
+"""Fused query+group Pallas kernel (ops/group_pallas.py) — interpret-mode
+correctness against order-free oracles.
+
+The kernel returns the first `ns` in-range sources in Morton scan order
+(a member of the same equivalence class as the CUDA reference's
+order-dependent first-k, ball_query_gpu.cu:75); the oracle therefore checks
+set equality + exact counts rather than a specific order.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tsm_det_pointcloud_tpu.ops import group_pallas as gp
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    B, N, Q, C = 2, 600, 200, 5
+    sxyz = rng.uniform([0, -20, -2], [40, 20, 1], (B, N, 3)).astype(np.float32)
+    sfeat = rng.standard_normal((B, N, C)).astype(np.float32)
+    svalid = np.ones((B, N), bool)
+    svalid[:, N - 17:] = False
+    qxyz = rng.uniform([0, -20, -2], [40, 20, 1], (B, Q, 3)).astype(np.float32)
+    qvalid = np.ones((B, Q), bool)
+    qvalid[:, Q - 5:] = False
+    return B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid
+
+
+def _check(data, grouped, idx, cnt, ns, min_r, max_r, qcoords=None,
+           scoords=None, qr=None, feat_exact=False):
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+    for b in range(B):
+        for qi in range(Q):
+            if not qvalid[b, qi]:
+                continue
+            d2 = ((sxyz[b] - qxyz[b, qi]) ** 2).sum(-1)
+            m = (d2 < max_r**2) & (d2 >= min_r**2) & svalid[b]
+            if qr is not None:
+                m &= (np.abs(qcoords[b, qi] - scoords[b])
+                      <= np.asarray(qr)).all(-1)
+            true_rows = set(np.where(m)[0])
+            k = min(cnt[b, qi], ns)
+            got = idx[b, qi, :k]
+            assert cnt[b, qi] == len(true_rows)
+            assert len(set(got.tolist())) == k
+            assert set(got.tolist()) <= true_rows
+            if cnt[b, qi] <= ns:
+                assert set(got.tolist()) == true_rows
+            # xyz is 1/1024-m fixed point; features bf16 (large-C) or
+            # bit-exact (small-C)
+            assert np.allclose(grouped[b, qi, :k, :3], sxyz[b][got],
+                               atol=6e-4)
+            if feat_exact:
+                assert (grouped[b, qi, :k, 3:]
+                        == sfeat[b][got][..., : grouped.shape[-1] - 3]).all()
+            else:
+                assert np.allclose(grouped[b, qi, :k, 3:], sfeat[b][got],
+                                   rtol=8e-3, atol=1e-2)
+            assert (grouped[b, qi, k:] == 0).all()
+
+
+def test_ball_and_annulus(data):
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+    prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(sfeat),
+                              jnp.asarray(svalid))
+    for min_r, max_r in [(0.0, 2.4), (1.2, 2.4)]:
+        g, i, c = gp.fused_query_group(
+            prep, jnp.asarray(qxyz), 16, max_r, min_r,
+            q_valid=jnp.asarray(qvalid), interpret=True)
+        _check(data, np.asarray(g), np.asarray(i), np.asarray(c), 16,
+               min_r, max_r)
+
+
+def test_voxel_window(data):
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+    scoords = np.floor(sxyz / 0.8).astype(np.int32)
+    qcoords = np.floor(qxyz / 0.8).astype(np.int32)
+    prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(sfeat),
+                              jnp.asarray(svalid),
+                              src_coords=jnp.asarray(scoords))
+    g, i, c = gp.fused_query_group(
+        prep, jnp.asarray(qxyz), 16, 2.4, 0.0,
+        q_valid=jnp.asarray(qvalid), q_coords=jnp.asarray(qcoords),
+        query_range=(2, 2, 2), interpret=True)
+    _check(data, np.asarray(g), np.asarray(i), np.asarray(c), 16, 0.0, 2.4,
+           qcoords=qcoords, scoords=scoords, qr=(2, 2, 2))
+
+
+def test_small_c_bitexact_and_grad(data):
+    B, N, Q, _, sxyz, _, svalid, qxyz, qvalid = data
+    rng = np.random.default_rng(1)
+    sfeat1 = rng.standard_normal((B, N, 1)).astype(np.float32)
+    R, NS = 1.1, 16
+    d = (B, N, Q, 1, sxyz, sfeat1, svalid, qxyz, qvalid)
+    prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(sfeat1),
+                              jnp.asarray(svalid))
+    g, i, c = gp.fused_query_group(prep, jnp.asarray(qxyz), NS, R,
+                                   q_valid=jnp.asarray(qvalid),
+                                   interpret=True)
+    _check(d, np.asarray(g), np.asarray(i), np.asarray(c), NS, 0.0, R,
+           feat_exact=True)
+
+    def loss(sf):
+        p = gp.prepare_sources(jnp.asarray(sxyz), sf, jnp.asarray(svalid))
+        gg, _, cc = gp.fused_query_group(p, jnp.asarray(qxyz), NS, R,
+                                         q_valid=jnp.asarray(qvalid),
+                                         interpret=True)
+        m = ((jnp.arange(NS)[None, None, :]
+              < jnp.minimum(cc, NS)[:, :, None])
+             & jnp.asarray(qvalid)[:, :, None])[..., None]
+        return jnp.sum(jnp.where(m, gg[..., 3:], 0.0) * 2.0)
+
+    gr = np.asarray(jax.grad(loss)(jnp.asarray(sfeat1)))
+    cpr = np.zeros((B, N))
+    for b in range(B):
+        for qi in range(Q):
+            if not qvalid[b, qi]:
+                continue
+            d2 = ((sxyz[b] - qxyz[b, qi]) ** 2).sum(-1)
+            rows = np.where((d2 < R * R) & svalid[b])[0]
+            assert len(rows) <= NS  # keep the oracle order-free
+            for r in rows:
+                cpr[b, r] += 1
+    assert np.allclose(gr, cpr[..., None] * 2.0, atol=1e-3)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import grouping, sampling, spconv as sp_ops, topk
+from ...ops import group_pallas, grouping, sampling, spconv as sp_ops, topk
 from ...ops.voxel import voxel_centroids, voxel_query
 from .pointnet2_modules import SharedMLP
 from .spconv_backbone import (
@@ -176,26 +176,44 @@ class VoxelSAModule(nn.Module):
         outs = []
         if sp is None:
             # layer 0: ball query over raw points, xyz-augmented MLPs.
-            # All scales share one (M, N) distance grid (ball_query_multi).
             pairs = []
             for i, r in enumerate(self.radii):
                 lo = self.radii[i - 1] if (self.dilated_group and i > 0) else 0.0
                 pairs.append((float(lo), float(r)))
-            queries = grouping.ball_query_multi(
-                tuple(pairs), tuple(int(n) for n in self.nsamples),
-                xyz, new_xyz, valid,
-            )
-            for i, ((idx, cnt), ns, mlp) in enumerate(
-                zip(queries, self.nsamples, self.mlps)
+            use_fused = group_pallas.enabled()
+            if use_fused:
+                # fused Pallas query+group: one Morton-sorted payload
+                # shared by all scales (ops/group_pallas.py)
+                prep = group_pallas.prepare_sources(xyz, features, valid)
+            else:
+                # XLA fallback: all scales share one (M, N) distance grid
+                queries = grouping.ball_query_multi(
+                    tuple(pairs), tuple(int(n) for n in self.nsamples),
+                    xyz, new_xyz, valid,
+                )
+            for i, ((lo, r), ns, mlp) in enumerate(
+                zip(pairs, self.nsamples, self.mlps)
             ):
-                g_xyz = grouping.group_points(xyz, idx) - new_xyz[:, :, None, :]
+                ns = int(ns)
+                if use_fused:
+                    gabs, idx, cnt = group_pallas.fused_query_group(
+                        prep, new_xyz, ns, r, lo, q_valid=new_valid
+                    )
+                    g_xyz = gabs[..., :3] - new_xyz[:, :, None, :]
+                    parts = [g_xyz]
+                    if features is not None:
+                        parts.append(gabs[..., 3:])
+                else:
+                    idx, cnt = queries[i]
+                    g_xyz = (grouping.group_points(xyz, idx)
+                             - new_xyz[:, :, None, :])
+                    parts = [g_xyz]
+                    if features is not None:
+                        parts.append(grouping.group_points(features, idx))
                 slot_ok = (
                     (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
                     & new_valid[:, :, None]
                 )
-                parts = [g_xyz]
-                if features is not None:
-                    parts.append(grouping.group_points(features, idx))
                 grouped = jnp.where(
                     slot_ok[..., None], jnp.concatenate(parts, -1), 0.0
                 )
@@ -212,29 +230,45 @@ class VoxelSAModule(nn.Module):
             new_coords = points_to_voxel_coords(
                 new_xyz, self.point_cloud_range, self.voxel_size
             )
+            use_fused = group_pallas.enabled()
+            if use_fused:
+                prep = group_pallas.prepare_sources(
+                    centroid_xyz, sp.features, sp.valid, src_coords=sp.coords
+                )
             for i, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)
             ):
+                ns = int(ns)
                 min_r = self.radii[i - 1] if (self.dilated_group and i > 0) else 0.0
                 qr = tuple(int(v) for v in self.query_ranges[i])
 
-                def one(nx, nc, cx, scoords, svalid, sfeat):
-                    return voxel_query(
-                        nx, nc, cx, scoords, svalid,
-                        radius=float(r), nsample=int(ns), query_range=qr,
-                        min_radius=float(min_r),
+                if use_fused:
+                    gabs, idx, cnt = group_pallas.fused_query_group(
+                        prep, new_xyz, ns, float(r), float(min_r),
+                        q_valid=new_valid, q_coords=new_coords,
+                        query_range=qr,
                     )
+                    g_xyz_abs = gabs[..., :3]
+                    g_feat = gabs[..., 3:]
+                else:
+                    def one(nx, nc, cx, scoords, svalid, sfeat):
+                        return voxel_query(
+                            nx, nc, cx, scoords, svalid,
+                            radius=float(r), nsample=int(ns),
+                            query_range=qr, min_radius=float(min_r),
+                        )
 
-                idx, cnt = jax.vmap(one)(
-                    new_xyz, new_coords, centroid_xyz, sp.coords, sp.valid,
-                    sp.features,
-                )
+                    idx, cnt = jax.vmap(one)(
+                        new_xyz, new_coords, centroid_xyz, sp.coords,
+                        sp.valid, sp.features,
+                    )
+                    g_feat = grouping.group_points(sp.features, idx)
+                    g_xyz_abs = grouping.group_points(centroid_xyz, idx)
                 slot_ok = (
                     (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
                     & new_valid[:, :, None]
                 )
-                g_feat = grouping.group_points(sp.features, idx)
-                g_xyz = grouping.group_points(centroid_xyz, idx) - new_xyz[:, :, None, :]
+                g_xyz = g_xyz_abs - new_xyz[:, :, None, :]
                 g_feat = jnp.where(slot_ok[..., None], g_feat, 0.0)
                 g_xyz = jnp.where(slot_ok[..., None], g_xyz, 0.0)
                 hf = _MLPNoFinalRelu(mlp, name=f"point_mlp{i}")(

@@ -1,0 +1,502 @@
+"""Fused neighborhood-query + grouping Pallas kernel.
+
+Replaces the two dominant costs of every SA layer (trace, b16 KITTI TSM):
+ball/voxel query distance grids + top-k (~145 ms) and the XLA serialized
+`take_along_axis` group gathers (~150 ms, ~12 ns per gathered row). One
+kernel computes, per query block, masked distances against streamed source
+blocks, assigns FIRST-K-in-scan-order slots (inclusive-cumsum of the hit
+mask via log-step lane rolls), and gathers the selected sources — no
+indexed addressing anywhere:
+
+  * feature channels ride a one-hot MXU matmul in bf16 (MXU f32 "full"
+    precision is 6 passes; features feed MLPs, bf16 is ample),
+  * xyz and the original row index ride exact int32 VPU lane-reduces
+    (sum of onehot * value); xyz is 1/1024-m fixed point (~1 mm, vs the
+    5 cm voxel) because a bf16 gather of absolute coordinates would
+    corrupt relative offsets by up to 0.25 m.
+
+Semantics (parity note): the CUDA reference ball_query_kernel_fast
+(ball_query_gpu.cu:75) and voxel_query reservoir both return an
+order-dependent first/random nsample of the in-radius set; the XLA
+fallbacks in ops/grouping.py return the nearest-k. This kernel returns the
+first k in MORTON scan order (sources are pre-sorted for block locality) —
+a third member of the same equivalence class. Every downstream consumer
+masks group slots by `slot < cnt`, and `cnt` (exact, uncapped) matches the
+fallback bit-for-bit.
+
+Performance structure:
+  * sources sorted by Morton code -> a block of consecutive rows is
+    spatially compact; per-source-block bboxes are precomputed outside
+    (block-major (n_sb, 16) — width-1 dynamic lane slices are illegal in
+    Mosaic, sublane indexing is fine) and blocks farther than `radius`
+    from the query block's bbox (or outside the voxel-query coord window)
+    skip the whole body via @pl.when.
+  * slot one-hot matmuls are chunked over k (KC slots at a time) and a
+    chunk runs only if some query's slots reach its range (max-slot
+    predicate), so sparse neighborhoods pay for one chunk.
+
+Gradients: the custom VJP scatter-adds the feature cotangent at the
+returned rows (XLA, training-only). Callers MUST mask unfilled slots
+(slot >= cnt) before any use — their rows alias row 0 in the backward.
+All in-tree callers do.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QB = 128   # queries per block
+SB = 256   # source rows per streamed block
+KC = 8     # k-slots per one-hot matmul chunk
+FP = 1024.0  # xyz fixed-point scale (1/FP metres)
+
+
+def morton_code(xyz, origin, cell=2.0, bits=10):
+    """(..., 3) f32 -> int32 Morton codes on a `cell`-metre grid. Spatially
+    close points get close codes, which is what gives source blocks their
+    tight bboxes. Invalid rows should be pushed to +inf by the caller."""
+    q = jnp.clip(((xyz - origin) / cell), 0, (1 << bits) - 1).astype(jnp.int32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+            | (spread(q[..., 2]) << 2))
+
+
+def _kernel(vcnt_ref, vidx_ref, q_ref, p0_ref, pi_ref, *refs, ns, n_sb,
+            max_r2, min_r2, qr, use_window, qb, sb, kc, n_int):
+    if len(refs) == 4:
+        pf_ref, outf_ref, outi_ref, cnt_ref = refs
+        outf_ref[0, 0] = jnp.zeros_like(outf_ref[0, 0])
+    else:  # small-C path: features ride the int payload (bitcast, exact)
+        pf_ref = outf_ref = None
+        outi_ref, cnt_ref = refs
+    outi_ref[0, 0] = jnp.zeros_like(outi_ref[0, 0])
+    cnt_ref[0, 0] = jnp.zeros_like(cnt_ref[0, 0])
+
+    qv = q_ref[0, :, 6:7] > 0.0                       # (QB, 1) query valid
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, sb), 1)
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
+    n_visit = vcnt_ref[bi, qi]
+
+    def body(t, _):
+        # which-source-blocks-to-visit is precomputed in XLA (bbox gap
+        # tests); the kernel only streams the listed blocks.
+        j = vidx_ref[bi, qi, t]  # SMEM scalar read
+        st = pl.multiple_of(j * sb, sb)
+        d2 = jnp.zeros((qb, sb), jnp.float32)
+        for a in range(3):
+            sa = p0_ref[0, a:a + 1, pl.ds(st, sb)]     # (1, SB)
+            qa = q_ref[0, :, a:a + 1]                  # (QB, 1)
+            d = qa - sa
+            d2 = d2 + d * d
+        hit = d2 < max_r2
+        if min_r2 > 0.0:
+            hit &= d2 >= min_r2
+        if use_window:
+            for a in range(3):
+                sc = p0_ref[0, 3 + a:4 + a, pl.ds(st, sb)]
+                qc = q_ref[0, :, 3 + a:4 + a]
+                hit &= jnp.abs(qc - sc) <= qr[a]
+        hit &= qv
+
+        hiti = hit.astype(jnp.int32)
+        # inclusive cumsum along lanes by log-step rolls
+        c = hiti
+        sh = 1
+        while sh < sb:
+            c = c + jnp.where(lane >= sh, pltpu.roll(c, sh, axis=1), 0)
+            sh *= 2
+        prior = cnt_ref[0, 0]                          # (QB, 1)
+        slot = prior + c - 1                           # valid where hit
+        mslot = jnp.max(jnp.where(hit, slot, -1))
+        cnt_ref[0, 0] = prior + jnp.sum(hiti, axis=1, keepdims=True)
+
+        fwin = (None if pf_ref is None
+                else pf_ref[0, pl.ds(st, sb), :])
+        for kci in range(ns // kc):
+            @pl.when(mslot >= kci * kc)
+            def _(kci=kci):
+                sl_t = jnp.concatenate([slot] * kc, 0)   # (KC*QB, SB)
+                hit_t = jnp.concatenate([hit] * kc, 0)
+                jrow = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (kc * qb, sb), 0
+                    ) // qb + kci * kc
+                )
+                oh = (sl_t == jrow) & hit_t
+                rows = pl.ds(kci * kc * qb, kc * qb)
+                if fwin is not None:
+                    # features: one-hot matmul on the MXU (bf16)
+                    ohf = oh.astype(jnp.bfloat16)
+                    add = jnp.dot(ohf, fwin,
+                                  preferred_element_type=jnp.float32)
+                    outf_ref[0, 0, rows, :] += add
+                # xyz fixed-point, original/sorted row, small-C
+                # features (bitcast): exact int32 reduces. Each (q,
+                # slot) receives exactly one source, so the sum is a
+                # select and bitcast payloads survive bit-for-bit.
+                ohi = oh.astype(jnp.int32)
+                for ch in range(n_int):
+                    v = pi_ref[0, ch:ch + 1, pl.ds(st, sb)]  # (1, SB)
+                    outi_ref[0, 0, rows, ch:ch + 1] += jnp.sum(
+                        ohi * v, axis=1, keepdims=True
+                    )
+        return 0
+
+    # dynamic trip count: Mosaic rejects scf.for with non-constant bounds
+    # but legalizes scf.while
+    jax.lax.while_loop(
+        lambda t: t < n_visit, lambda t: (body(t, 0), t + 1)[1], 0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
+                     "interpret"),
+)
+def _fused_group(bb, q, p0, pi, pf, ns, max_r2, min_r2, qr, use_window,
+                 interpret=False):
+    """bb (B, n_sb8, 16) f32 block bboxes; q (B, Qp, 8) f32
+    [xyz, coords, valid, pad]; p0 (B, 8, Np) f32 [xyz, coords] transposed;
+    pi (B, NI, Np) i32 [xyz_fp(3), orig_row, sorted_row, bitcast feats...]
+    transposed; pf (B, Np, C) f32 (None when features ride pi).
+    Returns outf (B, Qp, ns, C) or None, outi (B, Qp, ns, NI8), cnt."""
+    B, Qp, _ = q.shape
+    Np = p0.shape[2]
+    n_int = pi.shape[1]
+    ni8 = -(-n_int // 8) * 8
+    if n_int != ni8:
+        pi = jnp.pad(pi, ((0, 0), (0, ni8 - n_int), (0, 0)))
+    n_sb = Np // SB
+    nq = Qp // QB
+    kc = min(KC, ns)
+    assert ns % kc == 0
+
+    # ---- per-query-block visit lists (XLA; the kernel only streams the
+    # listed source blocks — zero in-kernel skip overhead) ----
+    qb_xyz = q[:, :, :3].reshape(B, nq, QB, 3)
+    qvalid = q[:, :, 6].reshape(B, nq, QB, 1) > 0
+    qmin = jnp.min(jnp.where(qvalid, qb_xyz, 1e30), axis=2)   # (B, nq, 3)
+    qmax = jnp.max(jnp.where(qvalid, qb_xyz, -1e30), axis=2)
+    smin = bb[:, :n_sb, None, 0:3]                            # (B,n_sb,1,3)
+    smax = bb[:, :n_sb, None, 3:6]
+    gap = jnp.maximum(
+        jnp.maximum(smin - qmax[:, None], qmin[:, None] - smax), 0.0
+    )                                                         # (B,n_sb,nq,3)
+    near = jnp.sum(gap * gap, -1) < max_r2
+    if use_window:
+        cmin = bb[:, :n_sb, None, 6:9]
+        cmax = bb[:, :n_sb, None, 9:12]
+        qc = q[:, :, 3:6].reshape(B, nq, QB, 3)
+        qcmin = jnp.min(jnp.where(qvalid, qc, 1e30), axis=2)
+        qcmax = jnp.max(jnp.where(qvalid, qc, -1e30), axis=2)
+        qrj = jnp.asarray(qr, jnp.float32)
+        near &= jnp.all(
+            (cmin - qcmax[:, None] <= qrj) & (qcmin[:, None] - cmax <= qrj),
+            -1,
+        )
+    near = near.transpose(0, 2, 1)                            # (B, nq, n_sb)
+    vcnt = jnp.sum(near, -1).astype(jnp.int32)                # (B, nq)
+    vidx = jnp.argsort(~near, axis=-1).astype(jnp.int32)      # True first
+
+    # SMEM blocks must equal the array dims; the kernel indexes them by
+    # program_id.
+    in_specs = [
+        pl.BlockSpec((B, nq), lambda b, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((B, nq, n_sb), lambda b, i: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, QB, 8), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, Np), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ni8, Np), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, ns * QB, ni8), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, QB, 1), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, nq, ns * QB, ni8), jnp.int32),
+        jax.ShapeDtypeStruct((B, nq, QB, 1), jnp.int32),
+    ]
+    args = [vcnt, vidx, q, p0, pi]
+    if pf is not None:
+        C = pf.shape[2]
+        in_specs.append(
+            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_specs.insert(
+            0, pl.BlockSpec((1, 1, ns * QB, C), lambda b, i: (b, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        )
+        out_shape.insert(
+            0, jax.ShapeDtypeStruct((B, nq, ns * QB, C), jnp.float32)
+        )
+        args.append(pf.astype(jnp.bfloat16))
+
+    res = pl.pallas_call(
+        functools.partial(
+            _kernel, ns=ns, n_sb=n_sb, max_r2=max_r2, min_r2=min_r2,
+            qr=qr, use_window=use_window, qb=QB, sb=SB, kc=kc,
+            n_int=n_int,
+        ),
+        grid=(B, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+    # rows are j-major within a block: (nq, ns, QB, .) -> (B, Q, ns, .)
+    def unblock(x):
+        x = x.reshape(B, nq, ns, QB, x.shape[-1]).transpose(0, 1, 3, 2, 4)
+        return x.reshape(B, Qp, ns, x.shape[-1])
+
+    if pf is not None:
+        outf, outi, cnt = res
+        return unblock(outf), unblock(outi), cnt.reshape(B, Qp)
+    outi, cnt = res
+    return None, unblock(outi), cnt.reshape(B, Qp)
+
+
+def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
+                    cell=2.0):
+    """Morton-sort sources and build the kernel's static-layout inputs.
+    Share the result across scales via fused_query_group(prepared=...).
+
+    src_xyz (B, N, 3); src_feat (B, N, C) or None; src_valid (B, N);
+    src_coords (B, N, 3) int voxel coords (voxel-query window) or None.
+    """
+    B, N, _ = src_xyz.shape
+    xyz = jnp.where(src_valid[..., None], src_xyz, 1e30)
+    origin = jnp.min(xyz, axis=1, keepdims=True)
+    code = morton_code(xyz, origin, cell=cell)
+    code = jnp.where(src_valid, code, np.int32(2**31 - 1))
+    order = jnp.argsort(code, axis=1)
+
+    def take(x, o):
+        return jnp.take_along_axis(x, o.reshape(B, N, *([1] * (x.ndim - 2))),
+                                   axis=1)
+
+    sxyz = take(xyz, order)                               # invalid -> 1e30
+    pad_n = (-N) % SB
+    if pad_n:
+        sxyz = jnp.pad(sxyz, ((0, 0), (0, pad_n), (0, 0)),
+                       constant_values=1e30)
+    Np = N + pad_n
+
+    cols = [sxyz]
+    if src_coords is not None:
+        scoords = take(src_coords.astype(jnp.float32), order)
+        if pad_n:
+            scoords = jnp.pad(scoords, ((0, 0), (0, pad_n), (0, 0)),
+                              constant_values=1e30)
+        cols.append(scoords)
+    else:
+        cols.append(jnp.zeros((B, Np, 3), jnp.float32))
+    p0 = jnp.concatenate(cols, -1)                        # (B, Np, 6)
+    p0 = jnp.concatenate(
+        [p0, jnp.zeros((B, Np, 2), jnp.float32)], -1
+    ).transpose(0, 2, 1)                                  # (B, 8, Np)
+
+    # int payload: xyz fixed-point (clipped so sentinels don't overflow;
+    # they are never selected) + original row
+    xyz_fp = jnp.round(jnp.clip(sxyz, -2e6, 2e6) * FP).astype(jnp.int32)
+    orow = jnp.pad(order.astype(jnp.int32)[..., None],
+                   ((0, 0), (0, pad_n), (0, 0)))
+    srow = jnp.broadcast_to(
+        jnp.arange(Np, dtype=jnp.int32)[None, :, None], (B, Np, 1)
+    )
+    int_cols = [xyz_fp, orow, srow]
+
+    n_feat = 0 if src_feat is None else src_feat.shape[-1]
+    pf = None
+    if n_feat:
+        sfeat = take(src_feat.astype(jnp.float32), order)
+        if pad_n:
+            sfeat = jnp.pad(sfeat, ((0, 0), (0, pad_n), (0, 0)))
+        if n_feat <= 3:
+            # small-C: features ride the int payload bitcast (exact f32,
+            # no bf16 rounding, no (Np, 128)-padded VMEM block). The
+            # bitcast is on stop_gradient values — the differentiable
+            # `feats` copy below carries the grad path.
+            int_cols.append(jax.lax.bitcast_convert_type(
+                jax.lax.stop_gradient(sfeat), jnp.int32))
+        pf = sfeat
+    pi = jnp.concatenate(int_cols, -1).transpose(0, 2, 1)  # (B, NI, Np)
+
+    # per-block bboxes, block-major (B, n_sb, 16): cols [xyzmin(3),
+    # xyzmax(3), cmin(3), cmax(3), pad]. Invalid rows are +1e30 so
+    # all-pad blocks get min=+1e30 -> never near any query.
+    n_sb = Np // SB
+    sx = sxyz.reshape(B, n_sb, SB, 3)
+    cols = [sx.min(2), sx.max(2)]
+    if src_coords is not None:
+        sc = p0[:, 3:6, :].transpose(0, 2, 1).reshape(B, n_sb, SB, 3)
+        cols += [sc.min(2), sc.max(2)]
+    else:
+        cols += [jnp.zeros((B, n_sb, 3), jnp.float32)] * 2
+    bb = jnp.concatenate(
+        cols + [jnp.zeros((B, n_sb, 4), jnp.float32)], -1
+    )                                                     # (B, n_sb, 16)
+    pad_b = (-n_sb) % 8
+    if pad_b:
+        bb = jnp.pad(bb, ((0, 0), (0, pad_b), (0, 0)), constant_values=1e30)
+    return dict(bb=bb, p0=p0, pi=pi, pf=pf, n_feat=n_feat)
+
+
+def _prepare_queries(q_xyz, q_valid, q_coords=None):
+    B, Q, _ = q_xyz.shape
+    v = (jnp.ones((B, Q), bool) if q_valid is None else q_valid)
+    cols = [q_xyz]
+    cols.append(jnp.zeros((B, Q, 3), jnp.float32) if q_coords is None
+                else q_coords.astype(jnp.float32))
+    cols.append(v[..., None].astype(jnp.float32))
+    cols.append(jnp.zeros((B, Q, 1), jnp.float32))
+    q = jnp.concatenate(cols, -1)                         # (B, Q, 8)
+    pad_q = (-Q) % QB
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    return q, pad_q
+
+
+def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
+                      q_valid=None, q_coords=None, query_range=None,
+                      sort_queries=True, interpret=False):
+    """Query `prepared` sources (see prepare_sources) from q_xyz (B, Q, 3).
+
+    Returns:
+      grouped (B, Q, ns, 3 + C) f32 — absolute source xyz (1/1024 m fixed
+        point) + features (bf16-rounded) of the first-in-scan-order `ns`
+        in-range sources; slots >= cnt are zero and MUST be masked by
+        callers before use (grad contract).
+      idx (B, Q, ns) int32 — original source rows of the filled slots.
+      cnt (B, Q) int32 — exact in-range counts (uncapped).
+    In-range = min_radius <= dist < max_radius, and when query_range /
+    q_coords are given, |q_coord - src_coord| <= query_range per axis.
+    """
+    qr = (0, 0, 0) if query_range is None else tuple(int(x) for x in
+                                                     query_range)
+    B, Q, _ = q_xyz.shape
+    qord = None
+    if sort_queries:
+        # Morton-sort queries so each QB-block covers a compact region —
+        # this is what makes the XLA visit lists short. Outputs are
+        # unsorted back at the end.
+        v = jnp.ones((B, Q), bool) if q_valid is None else q_valid
+        xyzm = jnp.where(v[..., None], q_xyz, 1e30)
+        origin = jnp.min(xyzm, axis=1, keepdims=True)
+        qcode = jnp.where(v, morton_code(xyzm, origin),
+                          np.int32(2**31 - 1))
+        qord = jnp.argsort(qcode, axis=1)
+
+        def takeq(x):
+            if x is None:
+                return None
+            return jnp.take_along_axis(
+                x, qord.reshape(B, Q, *([1] * (x.ndim - 2))), axis=1
+            )
+
+        q_xyz = takeq(q_xyz)
+        q_coords = takeq(q_coords)
+        q_valid = None if q_valid is None else jnp.take_along_axis(
+            q_valid, qord, axis=1
+        )
+    q, pad_q = _prepare_queries(q_xyz, q_valid, q_coords)
+    grouped, idx, cnt = _fused_core(
+        prepared["bb"], q, prepared["p0"], prepared["pi"], prepared["pf"],
+        int(ns), float(max_radius) ** 2, float(min_radius) ** 2, qr,
+        query_range is not None, interpret, prepared["n_feat"],
+    )
+    if pad_q:
+        grouped, idx, cnt = grouped[:, :Q], idx[:, :Q], cnt[:, :Q]
+    if qord is not None:
+        inv = jnp.argsort(qord, axis=1)
+        grouped = jnp.take_along_axis(grouped, inv[..., None, None], axis=1)
+        idx = jnp.take_along_axis(idx, inv[..., None], axis=1)
+        cnt = jnp.take_along_axis(cnt, inv, axis=1)
+    return grouped, idx, cnt
+
+
+def _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr, use_window,
+              interpret, nf):
+    pf = feats if nf > 3 else None
+    outf, outi, cnt = _fused_group(bb, q, p0, pi, pf, ns, max_r2, min_r2,
+                                   qr, use_window, interpret=interpret)
+    g_xyz = outi[..., :3].astype(jnp.float32) / FP
+    idx = outi[..., 3]
+    if nf == 0:
+        grouped = g_xyz
+    elif outf is not None:
+        grouped = jnp.concatenate([g_xyz, outf], -1)
+    else:
+        fb = jax.lax.bitcast_convert_type(outi[..., 5:5 + nf], jnp.float32)
+        grouped = jnp.concatenate([g_xyz, fb], -1)
+    return grouped, idx, cnt, outi[..., 4]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _fused_core(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr, use_window,
+                interpret, nf):
+    g, idx, cnt, _ = _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2,
+                               qr, use_window, interpret, nf)
+    return g, idx, cnt
+
+
+def _fused_core_fwd(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr,
+                    use_window, interpret, nf):
+    g, idx, cnt, srow = _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2,
+                                  qr, use_window, interpret, nf)
+    return (g, idx, cnt), (srow, None if feats is None else feats.shape)
+
+
+def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, interpret, nf, res,
+                    ct):
+    """Scatter the feature cotangent back to the SORTED payload rows (the
+    autodiff through prepare_sources' take_along_axis maps them to the
+    original rows). xyz/selection are treated as non-differentiable.
+    Unfilled slots alias row 0 — callers mask them so their ct is zero."""
+    srow, feats_shape = res
+    dg, _, _ = ct
+    if feats_shape is None:
+        return None, None, None, None, None
+    B, Q, ns_, _ = dg.shape
+    flat_idx = srow.reshape(B, Q * ns_)
+    dfeat = dg[..., 3:].reshape(B, Q * ns_, feats_shape[-1])
+
+    def scat(d, i):
+        z = jnp.zeros(feats_shape[1:], d.dtype)
+        return z.at[i].add(d)
+
+    dfeats = jax.vmap(scat)(dfeat, flat_idx)
+    return None, None, None, None, dfeats
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def enabled():
+    """Fused query+group on TPU. Kill switch: TSM_NO_PALLAS_GROUP=1."""
+    import os
+
+    if os.environ.get("TSM_NO_PALLAS_GROUP", ""):
+        return False
+    return jax.devices()[0].platform == "tpu"
