@@ -35,8 +35,12 @@ def _check(data, grouped, idx, cnt, ns, min_r, max_r, qcoords=None,
         for qi in range(Q):
             if not qvalid[b, qi]:
                 continue
-            d2 = ((sxyz[b] - qxyz[b, qi]) ** 2).sum(-1)
-            m = (d2 < max_r**2) & (d2 >= min_r**2) & svalid[b]
+            # kernel distances are on 1/1024-m fixed-point coords
+            sfp = np.round(sxyz[b] * 1024.0)
+            qfp = np.round(qxyz[b, qi] * 1024.0)
+            d2 = ((sfp - qfp) ** 2).sum(-1)
+            m = ((d2 < (max_r * 1024.0) ** 2)
+                 & (d2 >= (min_r * 1024.0) ** 2) & svalid[b])
             if qr is not None:
                 m &= (np.abs(qcoords[b, qi] - scoords[b])
                       <= np.asarray(qr)).all(-1)

@@ -36,12 +36,12 @@ class VectorPoolAggregation(nn.Module):
                  training=False):
         nxg, nyg, nzg = (int(v) for v in self.local_grid)
         ncell = nxg * nyg * nzg
-        idx, cnt = grouping.ball_query(
-            float(self.radius), int(self.nsample), support_xyz, query_xyz,
-            support_valid,
+        ((feats, slot_ok, cnt),) = grouping.query_group_scales(
+            support_xyz, support_feats, support_valid, query_xyz,
+            jnp.ones(query_xyz.shape[:2], bool),
+            [(0.0, float(self.radius), int(self.nsample))],
         )
-        g_xyz = grouping.group_points(support_xyz, idx) - query_xyz[:, :, None, :]
-        slot_ok = jnp.arange(int(self.nsample))[None, None, :] < cnt[:, :, None]
+        g_xyz = feats[..., :3]
 
         # local cell id from relative position in [-r, r)^3
         frac = jnp.clip(
@@ -54,11 +54,6 @@ class VectorPoolAggregation(nn.Module):
         )  # (B, M, ns)
         onehot = jax.nn.one_hot(cell, ncell, dtype=g_xyz.dtype)
         onehot = onehot * slot_ok[..., None]
-
-        feats = g_xyz if support_feats is None else jnp.concatenate(
-            [g_xyz, grouping.group_points(support_feats, idx)], -1
-        )
-        feats = jnp.where(slot_ok[..., None], feats, 0.0)
         # per-cell mean: (B, M, ns, C) x (B, M, ns, cells) -> (B, M, cells, C)
         sums = jnp.einsum("bmnc,bmnk->bmkc", feats, onehot)
         cnts = onehot.sum(axis=2)                       # (B, M, cells)

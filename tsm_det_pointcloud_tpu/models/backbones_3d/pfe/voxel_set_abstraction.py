@@ -62,21 +62,17 @@ class SAGroup(nn.Module):
     @nn.compact
     def __call__(self, query_xyz, support_xyz, support_feats, support_valid,
                  training=False):
+        q_valid = jnp.ones(query_xyz.shape[:2], bool)
+        scales = [(0.0, float(r), int(ns))
+                  for r, ns in zip(self.radii, self.nsamples)]
+        groups = grouping.query_group_scales(
+            support_xyz, support_feats, support_valid, query_xyz, q_valid,
+            scales, self.use_xyz,
+        )
         outs = []
-        for i, (r, ns, mlp) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
+        for i, ((grouped, slot_ok, cnt), mlp) in enumerate(
+            zip(groups, self.mlps)
         ):
-            idx, cnt = grouping.ball_query(
-                float(r), int(ns), support_xyz, query_xyz, support_valid
-            )
-            g_xyz = grouping.group_points(support_xyz, idx) - query_xyz[:, :, None, :]
-            slot_ok = jnp.arange(int(ns))[None, None, :] < cnt[:, :, None]
-            parts = [g_xyz] if self.use_xyz else []
-            if support_feats is not None:
-                parts.append(grouping.group_points(support_feats, idx))
-            grouped = jnp.where(
-                slot_ok[..., None], jnp.concatenate(parts, -1), 0.0
-            )
             h = SharedMLP(list(mlp), name=f"mlp{i}")(
                 grouped, training, mask=slot_ok[..., None]
             )

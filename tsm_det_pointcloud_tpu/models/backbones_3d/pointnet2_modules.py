@@ -113,14 +113,14 @@ class PointnetSAModuleMSG(nn.Module):
         new_valid = jnp.take_along_axis(valid, idx_s, axis=1)
 
         outs = []
-        for i, (r, ns, mlp) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
+        scales = [(0.0, float(r), int(ns))
+                  for r, ns in zip(self.radii, self.nsamples)]
+        groups = grouping.query_group_scales(
+            xyz, features, valid, new_xyz, new_valid, scales, self.use_xyz
+        )
+        for i, ((grouped, slot_ok, cnt), mlp) in enumerate(
+            zip(groups, self.mlps)
         ):
-            idx, cnt = grouping.ball_query(r, ns, xyz, new_xyz, valid)
-            grouped, slot_ok = group_and_mask(
-                xyz, features, valid, new_xyz, new_valid, idx, cnt,
-                self.use_xyz,
-            )
             h = SharedMLP(mlp, name=f"mlp{i}")(
                 grouped, training, mask=slot_ok[..., None]
             )
@@ -168,19 +168,17 @@ class PointnetSAModuleFSMSG(nn.Module):
         new_valid = jnp.take_along_axis(valid, idx_s, axis=1)
 
         outs = []
-        for i, (r, ns, mlp) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
+        scales = []
+        for i, (r, ns) in enumerate(zip(self.radii, self.nsamples)):
+            lo = (float(self.radii[i - 1])
+                  if (self.dilated_group and i > 0) else 0.0)
+            scales.append((lo, float(r), int(ns)))
+        groups = grouping.query_group_scales(
+            xyz, features, valid, new_xyz, new_valid, scales, self.use_xyz
+        )
+        for i, ((grouped, slot_ok, cnt), mlp) in enumerate(
+            zip(groups, self.mlps)
         ):
-            if self.dilated_group and i > 0:
-                idx, cnt = grouping.ball_query_dilated(
-                    self.radii[i - 1], r, ns, xyz, new_xyz, valid
-                )
-            else:
-                idx, cnt = grouping.ball_query(r, ns, xyz, new_xyz, valid)
-            grouped, slot_ok = group_and_mask(
-                xyz, features, valid, new_xyz, new_valid, idx, cnt,
-                self.use_xyz,
-            )
             h = SharedMLP(mlp, name=f"mlp{i}")(
                 grouped, training, mask=slot_ok[..., None]
             )

@@ -70,19 +70,17 @@ class PVRCNNHead(nn.Module):
         B, R = rois.shape[:2]
         grid = roi_grid_points(rois, g).reshape(B, R * g ** 3, 3)
 
+        scales = [(0.0, float(r), int(ns)) for r, ns in zip(
+            pool_cfg["POOL_RADIUS"], pool_cfg["NSAMPLE"]
+        )]
+        groups = grouping.query_group_scales(
+            kp, kp_feat, kp_valid, grid,
+            jnp.ones(grid.shape[:2], bool), scales,
+        )
         outs = []
-        for i, (r, ns, mlp) in enumerate(zip(
-            pool_cfg["POOL_RADIUS"], pool_cfg["NSAMPLE"], pool_cfg["MLPS"]
-        )):
-            idx, cnt = grouping.ball_query(
-                float(r), int(ns), kp, grid, kp_valid
-            )
-            g_xyz = grouping.group_points(kp, idx) - grid[:, :, None, :]
-            slot_ok = jnp.arange(int(ns))[None, None, :] < cnt[:, :, None]
-            grouped = jnp.concatenate(
-                [g_xyz, grouping.group_points(kp_feat, idx)], -1
-            )
-            grouped = jnp.where(slot_ok[..., None], grouped, 0.0)
+        for i, ((grouped, slot_ok, cnt), mlp) in enumerate(
+            zip(groups, pool_cfg["MLPS"])
+        ):
             h = SharedMLP(list(mlp), name=f"pool_mlp{i}")(
                 grouped, training, mask=slot_ok[..., None]
             )

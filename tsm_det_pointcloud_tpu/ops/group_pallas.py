@@ -52,8 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 QB = 128   # queries per block
 SB = 256   # source rows per streamed block
-KC = 8     # k-slots per one-hot matmul chunk
+KC = 4     # k-slots per one-hot matmul chunk (VMEM transient ~ KC*QB*SB)
 FP = 1024.0  # xyz fixed-point scale (1/FP metres)
+SROW_OC = 4  # output channel of the (virtual) sorted-row id
 
 
 def morton_code(xyz, origin, cell=2.0, bits=10):
@@ -73,8 +74,8 @@ def morton_code(xyz, origin, cell=2.0, bits=10):
             | (spread(q[..., 2]) << 2))
 
 
-def _kernel(vcnt_ref, vidx_ref, q_ref, p0_ref, pi_ref, *refs, ns, n_sb,
-            max_r2, min_r2, qr, use_window, qb, sb, kc, n_int):
+def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
+            max_r2, min_r2, qr, use_window, qb, sb, kc, gather_chs):
     if len(refs) == 4:
         pf_ref, outf_ref, outi_ref, cnt_ref = refs
         outf_ref[0, 0] = jnp.zeros_like(outf_ref[0, 0])
@@ -86,19 +87,19 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, p0_ref, pi_ref, *refs, ns, n_sb,
 
     qv = q_ref[0, :, 6:7] > 0.0                       # (QB, 1) query valid
     lane = jax.lax.broadcasted_iota(jnp.int32, (qb, sb), 1)
-    bi = pl.program_id(0)
-    qi = pl.program_id(1)
-    n_visit = vcnt_ref[bi, qi]
+    n_visit = vcnt_ref[0, 0, 0, 0]
 
     def body(t, _):
         # which-source-blocks-to-visit is precomputed in XLA (bbox gap
         # tests); the kernel only streams the listed blocks.
-        j = vidx_ref[bi, qi, t]  # SMEM scalar read
+        j = vidx_ref[0, 0, 0, t]  # SMEM scalar read
         st = pl.multiple_of(j * sb, sb)
+        # distances in 1/FP-metre fixed point: diffs < 2^24 are exact in
+        # f32; one int payload (no separate f32 xyz) halves resident VMEM
         d2 = jnp.zeros((qb, sb), jnp.float32)
         for a in range(3):
-            sa = p0_ref[0, a:a + 1, pl.ds(st, sb)]     # (1, SB)
-            qa = q_ref[0, :, a:a + 1]                  # (QB, 1)
+            sa = pi_ref[0, a:a + 1, pl.ds(st, sb)].astype(jnp.float32)
+            qa = q_ref[0, :, a:a + 1]                  # (QB, 1) fp units
             d = qa - sa
             d2 = d2 + d * d
         hit = d2 < max_r2
@@ -106,7 +107,8 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, p0_ref, pi_ref, *refs, ns, n_sb,
             hit &= d2 >= min_r2
         if use_window:
             for a in range(3):
-                sc = p0_ref[0, 3 + a:4 + a, pl.ds(st, sb)]
+                sc = pi_ref[0, 3 + a:4 + a,
+                            pl.ds(st, sb)].astype(jnp.float32)
                 qc = q_ref[0, :, 3 + a:4 + a]
                 hit &= jnp.abs(qc - sc) <= qr[a]
         hit &= qv
@@ -143,16 +145,22 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, p0_ref, pi_ref, *refs, ns, n_sb,
                     add = jnp.dot(ohf, fwin,
                                   preferred_element_type=jnp.float32)
                     outf_ref[0, 0, rows, :] += add
-                # xyz fixed-point, original/sorted row, small-C
-                # features (bitcast): exact int32 reduces. Each (q,
-                # slot) receives exactly one source, so the sum is a
-                # select and bitcast payloads survive bit-for-bit.
+                # xyz fixed-point, original row, small-C features
+                # (bitcast): exact int32 reduces. Each (q, slot) receives
+                # exactly one source, so the sum is a select and bitcast
+                # payloads survive bit-for-bit.
                 ohi = oh.astype(jnp.int32)
-                for ch in range(n_int):
+                for oc, ch in gather_chs:
                     v = pi_ref[0, ch:ch + 1, pl.ds(st, sb)]  # (1, SB)
-                    outi_ref[0, 0, rows, ch:ch + 1] += jnp.sum(
+                    outi_ref[0, 0, rows, oc:oc + 1] += jnp.sum(
                         ohi * v, axis=1, keepdims=True
                     )
+                # sorted row = st + lane index (virtual channel — not
+                # worth a resident payload row); goes to slot SROW_OC
+                vs = st + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+                outi_ref[0, 0, rows, SROW_OC:SROW_OC + 1] += jnp.sum(
+                    ohi * vs, axis=1, keepdims=True
+                )
         return 0
 
     # dynamic trip count: Mosaic rejects scf.for with non-constant bounds
@@ -165,21 +173,28 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, p0_ref, pi_ref, *refs, ns, n_sb,
 @functools.partial(
     jax.jit,
     static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
-                     "interpret"),
+                     "has_coords", "interpret"),
 )
-def _fused_group(bb, q, p0, pi, pf, ns, max_r2, min_r2, qr, use_window,
-                 interpret=False):
-    """bb (B, n_sb8, 16) f32 block bboxes; q (B, Qp, 8) f32
-    [xyz, coords, valid, pad]; p0 (B, 8, Np) f32 [xyz, coords] transposed;
-    pi (B, NI, Np) i32 [xyz_fp(3), orig_row, sorted_row, bitcast feats...]
+def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
+                 has_coords, interpret=False):
+    """bb (B, n_sb8, 16) f32 block bboxes (xyz rows in 1/FP units);
+    q (B, Qp, 8) f32 [xyz_fp, coords, valid, pad]; pi (B, NI, Np) i32
+    [xyz_fp(3), coords(3), orig_row, sorted_row, bitcast feats...]
     transposed; pf (B, Np, C) f32 (None when features ride pi).
-    Returns outf (B, Qp, ns, C) or None, outi (B, Qp, ns, NI8), cnt."""
+    max_r2/min_r2 are metric^2 (scaled to fp units internally).
+    Returns outf (B, Qp, ns, C) or None, outi (B, Qp, ns, NO8), cnt."""
     B, Qp, _ = q.shape
-    Np = p0.shape[2]
+    Np = pi.shape[2]
     n_int = pi.shape[1]
-    ni8 = -(-n_int // 8) * 8
-    if n_int != ni8:
-        pi = jnp.pad(pi, ((0, 0), (0, ni8 - n_int), (0, 0)))
+    # payload rows: [xfp(3)] [+ coords(3) if has_coords] [orow] [feats...]
+    orow_ch = 6 if has_coords else 3
+    feat_chs = tuple(range(orow_ch + 1, n_int))
+    gather_chs = (
+        (0, 0), (1, 1), (2, 2), (3, orow_ch),
+    ) + tuple((5 + i, ch) for i, ch in enumerate(feat_chs))
+    no8 = -(-(5 + len(feat_chs)) // 8) * 8
+    max_r2 = max_r2 * float(FP) * float(FP)
+    min_r2 = min_r2 * float(FP) * float(FP)
     n_sb = Np // SB
     nq = Qp // QB
     kc = min(KC, ns)
@@ -209,34 +224,34 @@ def _fused_group(bb, q, p0, pi, pf, ns, max_r2, min_r2, qr, use_window,
             -1,
         )
     near = near.transpose(0, 2, 1)                            # (B, nq, n_sb)
-    vcnt = jnp.sum(near, -1).astype(jnp.int32)                # (B, nq)
-    vidx = jnp.argsort(~near, axis=-1).astype(jnp.int32)      # True first
+    vcnt = jnp.sum(near, -1).astype(jnp.int32)[..., None, None]
+    vidx = jnp.argsort(~near, axis=-1).astype(jnp.int32)[:, :, None, :]
 
-    # SMEM blocks must equal the array dims; the kernel indexes them by
-    # program_id.
+    # SMEM visit lists are blocked per (b, i) — a singleton dim satisfies
+    # the last-two-dims block rule while keeping per-block SMEM tiny
+    # (a full (B, nq, n_sb) SMEM array overflows the 1 MB space at Waymo
+    # scale).
     in_specs = [
-        pl.BlockSpec((B, nq), lambda b, i: (0, 0),
+        pl.BlockSpec((1, 1, 1, 1), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((B, nq, n_sb), lambda b, i: (0, 0, 0),
+        pl.BlockSpec((1, 1, 1, n_sb), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, QB, 8), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, Np), lambda b, i: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ni8, Np), lambda b, i: (b, 0, 0),
+        pl.BlockSpec((1, n_int, Np), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, ns * QB, ni8), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, 1, ns * QB, no8), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, QB, 1), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, nq, ns * QB, ni8), jnp.int32),
+        jax.ShapeDtypeStruct((B, nq, ns * QB, no8), jnp.int32),
         jax.ShapeDtypeStruct((B, nq, QB, 1), jnp.int32),
     ]
-    args = [vcnt, vidx, q, p0, pi]
+    args = [vcnt, vidx, q, pi]
     if pf is not None:
         C = pf.shape[2]
         in_specs.append(
@@ -256,7 +271,7 @@ def _fused_group(bb, q, p0, pi, pf, ns, max_r2, min_r2, qr, use_window,
         functools.partial(
             _kernel, ns=ns, n_sb=n_sb, max_r2=max_r2, min_r2=min_r2,
             qr=qr, use_window=use_window, qb=QB, sb=SB, kc=kc,
-            n_int=n_int,
+            gather_chs=gather_chs,
         ),
         grid=(B, nq),
         in_specs=in_specs,
@@ -303,29 +318,21 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
                        constant_values=1e30)
     Np = N + pad_n
 
-    cols = [sxyz]
+    # ONE int payload: xyz fixed-point (clipped so sentinels don't
+    # overflow; they are never selected), voxel coords, original row,
+    # sorted row[, bitcast small-C features]. A separate f32 xyz array
+    # would double the resident VMEM at Waymo scale.
+    xyz_fp = jnp.round(jnp.clip(sxyz, -2e6, 2e6) * FP).astype(jnp.int32)
     if src_coords is not None:
-        scoords = take(src_coords.astype(jnp.float32), order)
+        scoords = take(src_coords.astype(jnp.int32), order)
         if pad_n:
             scoords = jnp.pad(scoords, ((0, 0), (0, pad_n), (0, 0)),
-                              constant_values=1e30)
-        cols.append(scoords)
+                              constant_values=2**20)
     else:
-        cols.append(jnp.zeros((B, Np, 3), jnp.float32))
-    p0 = jnp.concatenate(cols, -1)                        # (B, Np, 6)
-    p0 = jnp.concatenate(
-        [p0, jnp.zeros((B, Np, 2), jnp.float32)], -1
-    ).transpose(0, 2, 1)                                  # (B, 8, Np)
-
-    # int payload: xyz fixed-point (clipped so sentinels don't overflow;
-    # they are never selected) + original row
-    xyz_fp = jnp.round(jnp.clip(sxyz, -2e6, 2e6) * FP).astype(jnp.int32)
+        scoords = None
     orow = jnp.pad(order.astype(jnp.int32)[..., None],
                    ((0, 0), (0, pad_n), (0, 0)))
-    srow = jnp.broadcast_to(
-        jnp.arange(Np, dtype=jnp.int32)[None, :, None], (B, Np, 1)
-    )
-    int_cols = [xyz_fp, orow, srow]
+    int_cols = [xyz_fp] + ([scoords] if scoords is not None else []) + [orow]
 
     n_feat = 0 if src_feat is None else src_feat.shape[-1]
     pf = None
@@ -344,13 +351,14 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     pi = jnp.concatenate(int_cols, -1).transpose(0, 2, 1)  # (B, NI, Np)
 
     # per-block bboxes, block-major (B, n_sb, 16): cols [xyzmin(3),
-    # xyzmax(3), cmin(3), cmax(3), pad]. Invalid rows are +1e30 so
-    # all-pad blocks get min=+1e30 -> never near any query.
+    # xyzmax(3), cmin(3), cmax(3), pad] — xyz rows in 1/FP units to match
+    # the query payload. Invalid rows are huge-positive so all-pad blocks
+    # never test near any query.
     n_sb = Np // SB
-    sx = sxyz.reshape(B, n_sb, SB, 3)
+    sx = xyz_fp.astype(jnp.float32).reshape(B, n_sb, SB, 3)
     cols = [sx.min(2), sx.max(2)]
-    if src_coords is not None:
-        sc = p0[:, 3:6, :].transpose(0, 2, 1).reshape(B, n_sb, SB, 3)
+    if scoords is not None:
+        sc = scoords.astype(jnp.float32).reshape(B, n_sb, SB, 3)
         cols += [sc.min(2), sc.max(2)]
     else:
         cols += [jnp.zeros((B, n_sb, 3), jnp.float32)] * 2
@@ -360,13 +368,15 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     pad_b = (-n_sb) % 8
     if pad_b:
         bb = jnp.pad(bb, ((0, 0), (0, pad_b), (0, 0)), constant_values=1e30)
-    return dict(bb=bb, p0=p0, pi=pi, pf=pf, n_feat=n_feat)
+    return dict(bb=bb, pi=pi, pf=pf, n_feat=n_feat,
+                has_coords=src_coords is not None)
 
 
 def _prepare_queries(q_xyz, q_valid, q_coords=None):
     B, Q, _ = q_xyz.shape
     v = (jnp.ones((B, Q), bool) if q_valid is None else q_valid)
-    cols = [q_xyz]
+    # fixed-point query positions (must match the source payload units)
+    cols = [jnp.round(jnp.clip(q_xyz, -2e6, 2e6) * FP)]
     cols.append(jnp.zeros((B, Q, 3), jnp.float32) if q_coords is None
                 else q_coords.astype(jnp.float32))
     cols.append(v[..., None].astype(jnp.float32))
@@ -422,9 +432,10 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
         )
     q, pad_q = _prepare_queries(q_xyz, q_valid, q_coords)
     grouped, idx, cnt = _fused_core(
-        prepared["bb"], q, prepared["p0"], prepared["pi"], prepared["pf"],
+        prepared["bb"], q, prepared["pi"], prepared["pf"],
         int(ns), float(max_radius) ** 2, float(min_radius) ** 2, qr,
-        query_range is not None, interpret, prepared["n_feat"],
+        query_range is not None, prepared["has_coords"], interpret,
+        prepared["n_feat"],
     )
     if pad_q:
         grouped, idx, cnt = grouped[:, :Q], idx[:, :Q], cnt[:, :Q]
@@ -436,11 +447,12 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
     return grouped, idx, cnt
 
 
-def _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr, use_window,
-              interpret, nf):
+def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
+              has_coords, interpret, nf):
     pf = feats if nf > 3 else None
-    outf, outi, cnt = _fused_group(bb, q, p0, pi, pf, ns, max_r2, min_r2,
-                                   qr, use_window, interpret=interpret)
+    outf, outi, cnt = _fused_group(bb, q, pi, pf, ns, max_r2, min_r2,
+                                   qr, use_window, has_coords,
+                                   interpret=interpret)
     g_xyz = outi[..., :3].astype(jnp.float32) / FP
     idx = outi[..., 3]
     if nf == 0:
@@ -453,23 +465,25 @@ def _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr, use_window,
     return grouped, idx, cnt, outi[..., 4]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _fused_core(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr, use_window,
-                interpret, nf):
-    g, idx, cnt, _ = _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2,
-                               qr, use_window, interpret, nf)
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _fused_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
+                has_coords, interpret, nf):
+    g, idx, cnt, _ = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
+                               qr, use_window, has_coords, interpret, nf)
     return g, idx, cnt
 
 
-def _fused_core_fwd(bb, q, p0, pi, feats, ns, max_r2, min_r2, qr,
-                    use_window, interpret, nf):
-    g, idx, cnt, srow = _run_core(bb, q, p0, pi, feats, ns, max_r2, min_r2,
-                                  qr, use_window, interpret, nf)
+def _fused_core_fwd(bb, q, pi, feats, ns, max_r2, min_r2, qr,
+                    use_window, has_coords, interpret, nf):
+    g, idx, cnt, srow = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
+                                  qr, use_window, has_coords, interpret,
+                                  nf)
     return (g, idx, cnt), (srow, None if feats is None else feats.shape)
 
 
-def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, interpret, nf, res,
-                    ct):
+def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, has_coords,
+                    interpret, nf, res, ct):
     """Scatter the feature cotangent back to the SORTED payload rows (the
     autodiff through prepare_sources' take_along_axis maps them to the
     original rows). xyz/selection are treated as non-differentiable.
@@ -477,7 +491,7 @@ def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, interpret, nf, res,
     srow, feats_shape = res
     dg, _, _ = ct
     if feats_shape is None:
-        return None, None, None, None, None
+        return None, None, None, None
     B, Q, ns_, _ = dg.shape
     flat_idx = srow.reshape(B, Q * ns_)
     dfeat = dg[..., 3:].reshape(B, Q * ns_, feats_shape[-1])
@@ -487,7 +501,7 @@ def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, interpret, nf, res,
         return z.at[i].add(d)
 
     dfeats = jax.vmap(scat)(dfeat, flat_idx)
-    return None, None, None, None, dfeats
+    return None, None, None, dfeats
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)

@@ -165,6 +165,63 @@ def ball_query_dilated(min_radius, max_radius, nsample, xyz, new_xyz,
     return jax.vmap(f)(new_xyz, xyz, valid)
 
 
+def query_group_scales(xyz, features, valid, new_xyz, new_valid, scales,
+                       use_xyz=True):
+    """Multi-scale ball/annulus query + grouping with re-centered xyz.
+
+    scales: sequence of (min_r, max_r, nsample). Returns a list of
+    (grouped (B, M, ns, [3+]C), slot_ok (B, M, ns), cnt (B, M)) per scale.
+    Dispatches to the fused Pallas kernel on TPU (ops/group_pallas.py —
+    first-k in Morton order); falls back to nearest-k ball_query +
+    take_along_axis gathers elsewhere. Both pad unfilled slots with zeros
+    via slot_ok.
+    """
+    from . import group_pallas
+
+    out = []
+    if group_pallas.enabled():
+        prep = group_pallas.prepare_sources(xyz, features, valid)
+        for mn, mx, ns in scales:
+            ns = int(ns)
+            gabs, _, cnt = group_pallas.fused_query_group(
+                prep, new_xyz, ns, float(mx), float(mn), q_valid=new_valid
+            )
+            slot_ok = (
+                (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
+                & new_valid[:, :, None]
+            )
+            parts = []
+            if use_xyz:
+                parts.append(gabs[..., :3] - new_xyz[:, :, None, :])
+            if features is not None:
+                parts.append(gabs[..., 3:])
+            grouped = jnp.where(
+                slot_ok[..., None], jnp.concatenate(parts, -1), 0.0
+            )
+            out.append((grouped, slot_ok, cnt))
+        return out
+    for mn, mx, ns in scales:
+        ns = int(ns)
+        if mn > 0:
+            idx, cnt = ball_query_dilated(mn, mx, ns, xyz, new_xyz, valid)
+        else:
+            idx, cnt = ball_query(mx, ns, xyz, new_xyz, valid)
+        slot_ok = (
+            (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
+            & new_valid[:, :, None]
+        )
+        parts = []
+        if use_xyz:
+            parts.append(group_points(xyz, idx) - new_xyz[:, :, None, :])
+        if features is not None:
+            parts.append(group_points(features, idx))
+        grouped = jnp.where(
+            slot_ok[..., None], jnp.concatenate(parts, -1), 0.0
+        )
+        out.append((grouped, slot_ok, cnt))
+    return out
+
+
 def group_points(features, idx):
     """features (B, N, C), idx (B, M, ns) -> (B, M, ns, C).
     Channels-last by design (lane dim = C on TPU); autodiff provides the

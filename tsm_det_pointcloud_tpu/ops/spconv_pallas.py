@@ -79,6 +79,7 @@ def _gather_matmul_fwd(features, idx, weight, interpret=False, bf16=False,
     B, V, C = features.shape
     _, K, Q = idx.shape
     Co = weight.shape[-1]
+    out_dtype = features.dtype
 
     v_pad = -V % sb
     q_pad = -Q % qb
@@ -88,10 +89,16 @@ def _gather_matmul_fwd(features, idx, weight, interpret=False, bf16=False,
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, q_pad)), constant_values=-1)
     Vp, Qp = V + v_pad, Q + q_pad
     nsb = Vp // sb
+    # Large voxel capacities (Waymo: 16k+) don't fit a double-buffered
+    # f32 feature block in VMEM — hold the resident features in bf16
+    # there (accumulation stays f32). KITTI-scale caps stay f32/bitwise.
+    bf16 = bf16 or Vp * max(C, 128) * 4 * 2 > 12 * 1024 * 1024
     dot_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        features = features.astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, nsb=nsb, out_dtype=features.dtype,
+        functools.partial(_kernel, nsb=nsb, out_dtype=out_dtype,
                           dot_dtype=dot_dtype, qb=qb, sb=sb),
         grid=(B, Qp // qb),
         in_specs=[
@@ -104,7 +111,7 @@ def _gather_matmul_fwd(features, idx, weight, interpret=False, bf16=False,
         ],
         out_specs=pl.BlockSpec((1, qb, Co), lambda b, q: (b, q, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, Co), features.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, Co), out_dtype),
         interpret=interpret,
     )(idx, features, weight)
     return out[:, :Q, :] if q_pad else out
