@@ -129,6 +129,12 @@ def _xla_reference(features, idx, weight):
     return jax.vmap(single)(features, idx)
 
 
+def _env_bf16():
+    import os
+
+    return os.environ.get("TSM_COMPUTE_DTYPE", "") == "bfloat16"
+
+
 @jax.custom_vjp
 def gather_matmul(features, idx, weight):
     """out[b, q] = sum_k weight[k]^T @ features[b, idx[b, k, q]].
@@ -137,12 +143,15 @@ def gather_matmul(features, idx, weight):
     contribute zero; weight (K, C, Co). Returns (B, Q, Co) in features'
     dtype (f32 accumulation). Fast when idx is sorted per (b, k) —
     rulebooks from ops/spconv.py are; correctness never depends on it.
+    TSM_COMPUTE_DTYPE=bfloat16 runs the gather + GEMM in bf16 (f32
+    accumulation); also forced automatically at large V (VMEM).
     """
-    return _gather_matmul_fwd(features, idx, weight)
+    return _gather_matmul_fwd(features, idx, weight, bf16=_env_bf16())
 
 
 def _fwd(features, idx, weight):
-    return _gather_matmul_fwd(features, idx, weight), (features, idx, weight)
+    return (_gather_matmul_fwd(features, idx, weight, bf16=_env_bf16()),
+            (features, idx, weight))
 
 
 def _bwd(res, g):
