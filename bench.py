@@ -85,7 +85,9 @@ def main():
             + pred["count"].sum()
         )
 
-    n_iters = 8
+    # enough chained work (~1.3 s) that relay RTT variance (+-50-100 ms)
+    # stays in the low single-digit % of the measurement
+    n_iters = 24
 
     @jax.jit
     def chained(v, p):
@@ -105,9 +107,15 @@ def main():
     _ = float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
     rtt = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    float(chained(variables, pts))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iters
+    # each timed call gets DISTINCT inputs: the relay occasionally dedups
+    # a request identical to a previous one, which would time as ~RTT
+    times = []
+    for rep in range(1, 4):
+        prep = pts + np.float32(rep * 1e-6)
+        t0 = time.perf_counter()
+        float(chained(variables, prep))
+        times.append(time.perf_counter() - t0 - rtt)
+    dt = max(min(times), 1e-9) / n_iters
     scans_per_sec = batch_size / dt
 
     print(json.dumps({

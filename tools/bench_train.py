@@ -6,6 +6,10 @@ import json
 import pathlib
 import time
 
+import sys
+import pathlib
+sys.path.insert(
+    0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
@@ -22,7 +26,7 @@ def main():
     from tsm_det_pointcloud_tpu.utils.edict import EDict
     from bench import synth_points
 
-    root = pathlib.Path(__file__).resolve().parent
+    root = pathlib.Path(__file__).resolve().parent.parent
     cfg = cfg_from_yaml_file(
         str(root / "tools/cfgs/kitti_models/fast_cpc.yaml"),
         EDict({"ROOT_DIR": root, "LOCAL_RANK": 0}),
@@ -83,10 +87,14 @@ def main():
     t0 = time.perf_counter()
     _ = float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
     rtt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    r = train_n(params, opt_state, rest, pts)
-    float(r[-1])
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / 4
+    # distinct inputs per timed call (relay request dedup)
+    times = []
+    for rep in range(1, 4):
+        t0 = time.perf_counter()
+        r = train_n(params, opt_state, rest, pts + np.float32(rep * 1e-6))
+        float(r[-1])
+        times.append(time.perf_counter() - t0 - rtt)
+    dt = max(min(times), 1e-9) / 4
     print(json.dumps({
         "metric": "kitti_tsm_train_scans_per_sec",
         "value": round(B / dt, 2), "unit": "scans/s",

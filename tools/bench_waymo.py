@@ -5,6 +5,10 @@ import json
 import pathlib
 import time
 
+import sys
+import pathlib
+sys.path.insert(
+    0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
@@ -37,7 +41,7 @@ def main():
     )
     from tsm_det_pointcloud_tpu.utils.edict import EDict
 
-    root = pathlib.Path(__file__).resolve().parent
+    root = pathlib.Path(__file__).resolve().parent.parent
     cfg = cfg_from_yaml_file(
         str(root / "tools/cfgs/waymo_models/waymo_fast_cpc.yaml"),
         EDict({"ROOT_DIR": root, "LOCAL_RANK": 0}),
@@ -83,9 +87,14 @@ def main():
     t0 = time.perf_counter()
     _ = float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
     rtt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(variables, pts))
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iters
+    # distinct inputs per timed call: the relay can dedup a request
+    # identical to a previous one (would time as ~RTT)
+    times = []
+    for rep in range(1, 4):
+        t0 = time.perf_counter()
+        float(chained(variables, pts + np.float32(rep * 1e-6)))
+        times.append(time.perf_counter() - t0 - rtt)
+    dt = max(min(times), 1e-9) / n_iters
     sps = batch_size / dt
     print(json.dumps({
         "metric": "waymo_tsm_scans_per_sec_per_chip",

@@ -334,23 +334,26 @@ class VoxelSAModule(nn.Module):
             gz, gy, gx = self.grid
             sentinel = gz * gy * gx
 
-            def align(sp_coords, sp_valid, u_coords, u_valid, u_feats):
-                sp_keys = sp_ops.linearize(sp_coords, self.grid, sp_valid)
-                u_keys = sp_ops.linearize(u_coords, self.grid, u_valid)
-                pos = jnp.searchsorted(sp_keys, u_keys)
-                pos = jnp.clip(pos, 0, sp_keys.shape[0] - 1)
-                hit = (sp_keys[pos] == u_keys) & (u_keys < sentinel)
-                src = jnp.zeros(
-                    (sp_coords.shape[0], u_feats.shape[-1]), u_feats.dtype
-                )
-                return src.at[jnp.where(hit, pos, sp_coords.shape[0])].set(
+            # rank-align the update rows onto the sp rows (shared keys);
+            # the probe dispatches to the Pallas searchsorted on TPU
+            sp_keys_b = sp_ops.linearize(sp.coords, self.grid, sp.valid)
+            u_keys_b = sp_ops.linearize(
+                upd["coordinates"], self.grid, upd["valid"]
+            )
+            pos_b, hit_b = sp_ops._lookup_batched(
+                sp_keys_b, u_keys_b[:, None, :], sentinel
+            )
+            pos_b, hit_b = pos_b[:, 0], hit_b[:, 0]
+
+            def align(pos, hit, u_feats, v_rows):
+                src = jnp.zeros((v_rows, u_feats.shape[-1]), u_feats.dtype)
+                return src.at[jnp.where(hit, pos, v_rows)].set(
                     u_feats, mode="drop"
                 )
 
-            source = jax.vmap(align)(
-                sp.coords, sp.valid, upd["coordinates"], upd["valid"],
-                upd["centroids"],
-            )
+            source = jax.vmap(
+                lambda p, h, f: align(p, h, f, sp.coords.shape[1])
+            )(pos_b, hit_b, upd["centroids"])
             src_st = SparseTensor(source, sp.coords, sp.valid, sp.grid, sp.stride)
 
             n_out = new_features.shape[-1]
@@ -400,18 +403,13 @@ class VoxelSAModule(nn.Module):
             sp_out = sp._replace(features=fused)
 
             # the new (sampled) points' voxel slots in the sp row order
-            def slots(sp_coords, sp_valid, c, v):
-                sp_keys = sp_ops.linearize(sp_coords, self.grid, sp_valid)
-                keys = sp_ops.linearize(c, self.grid, v)
-                pos = jnp.clip(
-                    jnp.searchsorted(sp_keys, keys), 0, sp_keys.shape[0] - 1
-                )
-                hit = (sp_keys[pos] == keys) & (keys < sentinel)
-                return jnp.where(hit, pos, -1).astype(jnp.int32)
-
-            new_point_slot = jax.vmap(slots)(
-                sp.coords, sp.valid, coords, new_valid
+            pkeys_b = sp_ops.linearize(coords, self.grid, new_valid)
+            ppos, phit = sp_ops._lookup_batched(
+                sp_keys_b, pkeys_b[:, None, :], sentinel
             )
+            new_point_slot = jnp.where(
+                phit[:, 0], ppos[:, 0], -1
+            ).astype(jnp.int32)
 
         # ---- per-voxel confidence ----
         new_scores_voxel = None
