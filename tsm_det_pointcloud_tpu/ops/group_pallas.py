@@ -51,13 +51,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = 128   # queries per block
-SB = 256   # source rows per streamed block
+SB = 512   # source rows per streamed block
 KC = 4     # k-slots per one-hot matmul chunk (VMEM transient ~ KC*QB*SB)
 FP = 1024.0  # xyz fixed-point scale (1/FP metres)
 SROW_OC = 4  # output channel of the (virtual) sorted-row id
 
 
-def morton_code(xyz, origin, cell=2.0, bits=10):
+def morton_code(xyz, origin, cell=1.0, bits=10):
     """(..., 3) f32 -> int32 Morton codes on a `cell`-metre grid. Spatially
     close points get close codes, which is what gives source blocks their
     tight bboxes. Invalid rows should be pushed to +inf by the caller."""
@@ -293,7 +293,7 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
 
 
 def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
-                    cell=2.0):
+                    cell=1.0):
     """Morton-sort sources and build the kernel's static-layout inputs.
     Share the result across scales via fused_query_group(prepared=...).
 

@@ -168,9 +168,15 @@ def _lookup_batched(skeys, query_keys, sentinel, table=None):
     if _use_pallas_probe():
         from . import searchsorted_pallas
 
+        # flatten taps into one long near-sorted query axis: the kernel's
+        # per-tap fori overhead dominates at small Q, and per-block window
+        # bounds don't care about tap boundaries
+        B, K, Q = query_keys.shape
         idx, fnd = searchsorted_pallas.searchsorted_rulebook(
-            skeys, query_keys, sentinel
+            skeys, query_keys.reshape(B, 1, K * Q), sentinel
         )
+        idx = idx.reshape(B, K, Q)
+        fnd = fnd.reshape(B, K, Q)
         return idx, fnd & (query_keys < sentinel)
     if table is not None:
         return jax.vmap(
