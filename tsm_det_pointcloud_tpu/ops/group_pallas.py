@@ -51,7 +51,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = 128   # queries per block
-SB = 512   # source rows per streamed block
+SB = 512        # source rows per streamed block (small-C int path)
+SB_LARGE_C = 256  # with a large-C bf16 payload the 512-block
+                  # transients overflow VMEM under training
 KC = 4     # k-slots per one-hot matmul chunk (VMEM transient ~ KC*QB*SB)
 FP = 1024.0  # xyz fixed-point scale (1/FP metres)
 SROW_OC = 4  # output channel of the (virtual) sorted-row id
@@ -173,10 +175,10 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
 @functools.partial(
     jax.jit,
     static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
-                     "has_coords", "interpret"),
+                     "has_coords", "sb", "interpret"),
 )
 def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
-                 has_coords, interpret=False):
+                 has_coords, sb, interpret=False):
     """bb (B, n_sb8, 16) f32 block bboxes (xyz rows in 1/FP units);
     q (B, Qp, 8) f32 [xyz_fp, coords, valid, pad]; pi (B, NI, Np) i32
     [xyz_fp(3), coords(3), orig_row, sorted_row, bitcast feats...]
@@ -195,7 +197,7 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     no8 = -(-(5 + len(feat_chs)) // 8) * 8
     max_r2 = max_r2 * float(FP) * float(FP)
     min_r2 = min_r2 * float(FP) * float(FP)
-    n_sb = Np // SB
+    n_sb = Np // sb
     nq = Qp // QB
     kc = min(KC, ns)
     assert ns % kc == 0
@@ -270,7 +272,7 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     res = pl.pallas_call(
         functools.partial(
             _kernel, ns=ns, n_sb=n_sb, max_r2=max_r2, min_r2=min_r2,
-            qr=qr, use_window=use_window, qb=QB, sb=SB, kc=kc,
+            qr=qr, use_window=use_window, qb=QB, sb=sb, kc=kc,
             gather_chs=gather_chs,
         ),
         grid=(B, nq),
@@ -312,7 +314,9 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
                                    axis=1)
 
     sxyz = take(xyz, order)                               # invalid -> 1e30
-    pad_n = (-N) % SB
+    n_feat0 = 0 if src_feat is None else src_feat.shape[-1]
+    sb = SB if n_feat0 <= 3 else SB_LARGE_C
+    pad_n = (-N) % sb
     if pad_n:
         sxyz = jnp.pad(sxyz, ((0, 0), (0, pad_n), (0, 0)),
                        constant_values=1e30)
@@ -354,11 +358,11 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     # xyzmax(3), cmin(3), cmax(3), pad] — xyz rows in 1/FP units to match
     # the query payload. Invalid rows are huge-positive so all-pad blocks
     # never test near any query.
-    n_sb = Np // SB
-    sx = xyz_fp.astype(jnp.float32).reshape(B, n_sb, SB, 3)
+    n_sb = Np // sb
+    sx = xyz_fp.astype(jnp.float32).reshape(B, n_sb, sb, 3)
     cols = [sx.min(2), sx.max(2)]
     if scoords is not None:
-        sc = scoords.astype(jnp.float32).reshape(B, n_sb, SB, 3)
+        sc = scoords.astype(jnp.float32).reshape(B, n_sb, sb, 3)
         cols += [sc.min(2), sc.max(2)]
     else:
         cols += [jnp.zeros((B, n_sb, 3), jnp.float32)] * 2
@@ -369,7 +373,7 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     if pad_b:
         bb = jnp.pad(bb, ((0, 0), (0, pad_b), (0, 0)), constant_values=1e30)
     return dict(bb=bb, pi=pi, pf=pf, n_feat=n_feat,
-                has_coords=src_coords is not None)
+                has_coords=src_coords is not None, sb=sb)
 
 
 def _prepare_queries(q_xyz, q_valid, q_coords=None):
@@ -435,7 +439,7 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
         prepared["bb"], q, prepared["pi"], prepared["pf"],
         int(ns), float(max_radius) ** 2, float(min_radius) ** 2, qr,
         query_range is not None, prepared["has_coords"], interpret,
-        prepared["n_feat"],
+        prepared["n_feat"], prepared["sb"],
     )
     if pad_q:
         grouped, idx, cnt = grouped[:, :Q], idx[:, :Q], cnt[:, :Q]
@@ -448,10 +452,10 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
 
 
 def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
-              has_coords, interpret, nf):
+              has_coords, interpret, nf, sb):
     pf = feats if nf > 3 else None
     outf, outi, cnt = _fused_group(bb, q, pi, pf, ns, max_r2, min_r2,
-                                   qr, use_window, has_coords,
+                                   qr, use_window, has_coords, sb,
                                    interpret=interpret)
     g_xyz = outi[..., :3].astype(jnp.float32) / FP
     idx = outi[..., 3]
@@ -466,24 +470,25 @@ def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _fused_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
-                has_coords, interpret, nf):
+                has_coords, interpret, nf, sb):
     g, idx, cnt, _ = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
-                               qr, use_window, has_coords, interpret, nf)
+                               qr, use_window, has_coords, interpret, nf,
+                               sb)
     return g, idx, cnt
 
 
 def _fused_core_fwd(bb, q, pi, feats, ns, max_r2, min_r2, qr,
-                    use_window, has_coords, interpret, nf):
+                    use_window, has_coords, interpret, nf, sb):
     g, idx, cnt, srow = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
                                   qr, use_window, has_coords, interpret,
-                                  nf)
+                                  nf, sb)
     return (g, idx, cnt), (srow, None if feats is None else feats.shape)
 
 
 def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, has_coords,
-                    interpret, nf, res, ct):
+                    interpret, nf, sb, res, ct):
     """Scatter the feature cotangent back to the SORTED payload rows (the
     autodiff through prepare_sources' take_along_axis maps them to the
     original rows). xyz/selection are treated as non-differentiable.
