@@ -128,3 +128,15 @@ def test_small_c_bitexact_and_grad(data):
             for r in rows:
                 cpr[b, r] += 1
     assert np.allclose(gr, cpr[..., None] * 2.0, atol=1e-3)
+
+
+def test_nsample_not_multiple_of_chunk(data):
+    """nsample=6 (not divisible by the KC=4 slot-chunk) must work via the
+    gcd chunk split instead of trapping at trace time (advisor finding)."""
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+    prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(sfeat),
+                              jnp.asarray(svalid))
+    g, i, c = gp.fused_query_group(
+        prep, jnp.asarray(qxyz), 6, 2.4, 0.0,
+        q_valid=jnp.asarray(qvalid), interpret=True)
+    _check(data, np.asarray(g), np.asarray(i), np.asarray(c), 6, 0.0, 2.4)

@@ -4,19 +4,21 @@ the --eval_all poll-watcher is also provided).
 Runs the jitted eval forward + on-device NMS per batch, converts fixed-size
 device outputs to per-frame prediction dicts, and calls
 dataset.evaluation() (official KITTI AP protocol, eval/kitti_eval.py).
+
+Distributed: each JAX process evaluates a disjoint loader shard
+(num_shards=process_count) and results merge via
+parallel/comm.merge_results_dist (parity: tools/test.py:144-151); within
+a process, batches shard over all local devices on a data mesh.
 """
 from __future__ import annotations
 
 import argparse
 import datetime
-import pickle
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-import numpy as np
 
 
 def parse_config():
@@ -48,70 +50,6 @@ def parse_config():
     return args, cfg
 
 
-def eval_one_ckpt(model, variables, loader, dataset, cfg, logger,
-                  result_dir, save_to_file=False):
-    import jax
-
-    from tsm_det_pointcloud_tpu.parallel.train_state import device_batch
-
-    class_names = list(cfg.CLASS_NAMES)
-    det_annos = []
-
-    @jax.jit
-    def infer(v, b):
-        out = model.apply(v, b, training=False)
-        pred, recall = model.apply(
-            v, out, method=lambda m, bd: m.post_processing(bd)
-        )
-        return pred, recall
-
-    total_time, n_frames = 0.0, 0
-    recall_acc = {}
-    for batch in loader:
-        t0 = time.time()
-        # calib/frame_id metadata stays on host (load_data_to_gpu parity)
-        pred, recall = infer(variables, device_batch(batch))
-        pred = jax.device_get(pred)  # forces execution (axon defers to fetch)
-        dt = time.time() - t0
-        total_time += dt
-        bsz = int(batch["batch_size"])
-        n_frames += bsz
-        for k, v in jax.device_get(recall).items():
-            recall_acc[k] = recall_acc.get(k, 0.0) + float(v)
-
-        pred_dicts = []
-        for b in range(bsz):
-            cnt = int(pred["count"][b])
-            pred_dicts.append({
-                "pred_boxes": np.asarray(pred["pred_boxes"][b][:cnt]),
-                "pred_scores": np.asarray(pred["pred_scores"][b][:cnt]),
-                "pred_labels": np.asarray(pred["pred_labels"][b][:cnt]),
-            })
-        annos = dataset.generate_prediction_dicts(
-            batch, pred_dicts, class_names,
-            output_path=result_dir if save_to_file else None,
-        )
-        det_annos += annos
-
-    sec_per_example = total_time / max(n_frames, 1)
-    logger.info(
-        "Generate label finished(sec_per_example: %.4f second).",
-        sec_per_example,
-    )
-    gt_num = max(recall_acc.get("gt", 0.0), 1.0)
-    for k in sorted(recall_acc):
-        if k != "gt":
-            logger.info("recall_%s: %f", k, recall_acc[k] / gt_num)
-
-    with open(result_dir / "result.pkl", "wb") as f:
-        pickle.dump(det_annos, f)
-
-    result_str, result_dict = dataset.evaluation(det_annos, class_names)
-    logger.info(result_str)
-    result_dict["sec_per_example"] = sec_per_example
-    return result_dict
-
-
 def main():
     args, cfg = parse_config()
 
@@ -119,9 +57,12 @@ def main():
 
     from tsm_det_pointcloud_tpu.datasets import build_dataloader
     from tsm_det_pointcloud_tpu.models import build_network
+    from tsm_det_pointcloud_tpu.parallel.train_state import make_mesh
     from tsm_det_pointcloud_tpu.runtime.checkpoint import (
         latest_checkpoint, restore_checkpoint,
     )
+    from tsm_det_pointcloud_tpu.runtime.eval_utils import eval_one_ckpt
+    from tsm_det_pointcloud_tpu.runtime.metrics import MetricsWriter
     from tsm_det_pointcloud_tpu.utils import common_utils
 
     batch_size = args.batch_size or cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU
@@ -141,15 +82,27 @@ def main():
         dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
         batch_size=batch_size, training=False, workers=args.workers,
         logger=logger,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
     )
     model = build_network(
         model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=test_set
     )
 
+    # single-process multi-device: shard eval batches over the local mesh
+    # (batch must divide evenly; ragged final batches are padded inside
+    # eval_one_ckpt)
+    n_local = len(jax.local_devices())
+    n_mesh = max(d for d in range(1, n_local + 1) if batch_size % d == 0)
+    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+    if mesh is not None:
+        logger.info("Eval on a %d-device data mesh", n_mesh)
+
+    metrics_writer = MetricsWriter(eval_dir)
+
     first = next(iter(test_loader))
     variables = model.init(jax.random.PRNGKey(0), dict(first), training=False)
 
-    def load_and_eval(ckpt):
+    def load_and_eval(ckpt, epoch_id=0):
         nonlocal variables
         if ckpt:
             loaded = restore_checkpoint(ckpt)
@@ -162,7 +115,8 @@ def main():
             logger.warning("No checkpoint found/given - evaluating random init")
         return eval_one_ckpt(
             model, variables, test_loader, test_set, cfg, logger, eval_dir,
-            save_to_file=args.save_to_file,
+            save_to_file=args.save_to_file, mesh=mesh,
+            metrics_writer=metrics_writer, epoch_id=epoch_id,
         )
 
     if not args.eval_all:
@@ -186,7 +140,7 @@ def main():
             if latest else None
         )
         if latest and epoch not in evaluated:
-            load_and_eval(latest)
+            load_and_eval(latest, epoch_id=int(epoch))
             evaluated.add(epoch)
             with open(eval_list, "a") as f:
                 f.write(epoch + "\n")

@@ -35,6 +35,12 @@ def parse_config():
     )
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument(
+        "--num_epochs_to_eval", type=int, default=0,
+        help="evaluate the last N checkpoints on the val split after "
+             "training (reference tools/train.py:192-209 defaults to 10; "
+             "0 disables, e.g. when no val data is on disk)",
+    )
+    parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
@@ -63,11 +69,12 @@ def main():
     from tsm_det_pointcloud_tpu.datasets import build_dataloader
     from tsm_det_pointcloud_tpu.models import build_network
     from tsm_det_pointcloud_tpu.parallel.train_state import (
-        TrainState, wrap_student_only,
+        TrainState, make_mesh, replicate_state, wrap_student_only,
     )
     from tsm_det_pointcloud_tpu.runtime.checkpoint import (
         latest_checkpoint, partial_load, restore_checkpoint,
     )
+    from tsm_det_pointcloud_tpu.runtime.metrics import MetricsWriter
     from tsm_det_pointcloud_tpu.runtime.optimization import build_optimizer
     from tsm_det_pointcloud_tpu.runtime.train_loop import train_model
     from tsm_det_pointcloud_tpu.utils import common_utils
@@ -90,10 +97,15 @@ def main():
     if args.fix_random_seed:
         np.random.seed(666)
 
+    # per-process loader shard (parity: the reference's DistributedSampler
+    # rank-strided slices, datasets/__init__.py:24-44); per-process batch
+    # is the per-device batch x local devices, matching the reference's
+    # batch_size // total_gpus split (train.py:72-73)
     train_set, train_loader, _ = build_dataloader(
         dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
         batch_size=batch_size, training=True, workers=args.workers,
         seed=666 if args.fix_random_seed else 0, logger=logger,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
     )
     model = build_network(
         model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=train_set
@@ -147,6 +159,20 @@ def main():
         start_epoch = int(loaded["epoch"])
         logger.info("Resumed from %s (epoch %d)", resume_from, start_epoch)
 
+    # single-process multi-device: largest local-device count dividing the
+    # batch becomes the data-parallel mesh; params/opt state replicate and
+    # XLA all-reduces grads over ICI. BatchNorm means are computed over the
+    # global (sharded) batch under jit, so SyncBatchNorm semantics
+    # (reference --sync_bn, train.py:129-130) hold by construction.
+    n_local = len(jax.local_devices())
+    n_mesh = max(d for d in range(1, n_local + 1) if batch_size % d == 0)
+    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+        logger.info("Training on a %d-device data mesh", n_mesh)
+
+    metrics_writer = MetricsWriter(output_dir)
+
     logger.info(
         "*************** Start training %s/%s(%s) ***************",
         cfg.EXP_GROUP_PATH, cfg.TAG, args.extra_tag,
@@ -163,8 +189,39 @@ def main():
             logger=logger, start_epoch=start_epoch,
             max_ckpt_save_num=args.max_ckpt_save_num, lr_fn=lr_fn,
             ckpt_save_interval=args.ckpt_save_interval,
+            mesh=mesh, metrics_writer=metrics_writer,
         )
     logger.info("*************** Training finished ***************")
+
+    if args.num_epochs_to_eval > 0:
+        # in-train repeat-eval of the trailing checkpoints (parity:
+        # reference tools/train.py:192-209)
+        from tsm_det_pointcloud_tpu.runtime.eval_utils import (
+            repeat_eval_ckpts,
+        )
+
+        test_set, test_loader, _ = build_dataloader(
+            dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
+            batch_size=batch_size, training=False, workers=args.workers,
+            logger=logger,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+        )
+        eval_model = build_network(
+            model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
+            dataset=test_set,
+        )
+        first_val = next(iter(test_loader))
+        eval_vars = eval_model.init(
+            jax.random.PRNGKey(0), dict(first_val), training=False
+        )
+        repeat_eval_ckpts(
+            eval_model, eval_vars, test_loader, test_set, cfg, ckpt_dir,
+            output_dir / "eval" / "eval_with_train", logger,
+            args.num_epochs_to_eval, mesh=mesh,
+            metrics_writer=metrics_writer,
+        )
+        logger.info("*************** In-train eval finished ***************")
+    metrics_writer.close()
 
 
 if __name__ == "__main__":

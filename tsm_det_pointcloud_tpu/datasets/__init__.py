@@ -6,14 +6,26 @@ the reference's custom DistributedSampler, datasets/__init__.py:24-44:
 pad-to-divisible then rank-strided slice). Prefetch modes:
 
   * workers=0: a single background thread (cheap pipelines, tests).
-  * workers>0: a forked process pool, the analogue of torch DataLoader
+  * workers>0: a process pool, the analogue of torch DataLoader
     num_workers (reference train.py --workers). gt-sampling copy-paste +
     augmentation are host-python and would otherwise input-bind the chip
     (SURVEY.md §7.4 hard part 6). Each batch is loaded + collated inside
     one worker; at most `prefetch * workers` batches are in flight.
-    Per-sample numpy RNG is seeded from (seed, epoch, sample index) so the
-    stream is deterministic regardless of worker scheduling — a documented
-    improvement over the reference's per-worker seeding.
+
+    The pool uses the `forkserver` start method: by the time the first
+    epoch runs, JAX/libtpu has already spun up device threads in the
+    parent, and fork()ing a multi-threaded process can deadlock the child
+    (only the forking thread survives, with every lock in whatever state
+    it was). The forkserver process is spawned before it ever holds such
+    state, so workers are clean; the dataset ships to it once by pickle
+    at pool creation, and the pool persists across epochs. If the dataset
+    cannot pickle, we fall back to fork with a warning. Worker results
+    carry a timeout so a dead worker fails the epoch instead of hanging.
+
+Per-sample numpy RNG is seeded from (seed, epoch, sample index) in BOTH
+paths, so the augmentation stream is identical regardless of worker count
+or scheduling — a documented improvement over the reference's per-worker
+seeding.
 """
 from __future__ import annotations
 
@@ -121,55 +133,82 @@ class DataLoader:
                 break
             yield item
 
+    def _get_pool(self):
+        if getattr(self, "_pool", None) is not None:
+            return self._pool
+        try:
+            ctx = multiprocessing.get_context("forkserver")
+            self._pool = ctx.Pool(
+                self.workers, initializer=_pool_init, initargs=(self.dataset,)
+            )
+        except Exception:  # unpicklable dataset -> COW fork fallback
+            import warnings
+
+            warnings.warn(
+                "dataset not picklable for forkserver workers; falling back "
+                "to fork() — hazardous after JAX/libtpu initialization"
+            )
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(
+                self.workers, initializer=_pool_init, initargs=(self.dataset,)
+            )
+        return self._pool
+
+    def close(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.terminate()
+            self._pool = None
+
     def _iter_pool(self, batches):
-        """Process-pool prefetch: fork inherits the dataset (infos, gt-db
-        handles) copy-on-write; a fresh pool per epoch picks up set_epoch
-        state. Results are yielded in order with a bounded window."""
-        ctx = multiprocessing.get_context("fork")
+        """Persistent process-pool prefetch; results yielded in order with
+        a bounded in-flight window and a liveness timeout."""
+        pool = self._get_pool()
         window = max(self.prefetch, 1) * self.workers
-        with ctx.Pool(self.workers, initializer=_pool_init,
-                      initargs=(self.dataset, self.seed, self.epoch)) as pool:
-            pending = []
-            it = iter(batches)
-            try:
-                while True:
-                    while len(pending) < window:
-                        b = next(it, None)
-                        if b is None:
-                            break
-                        pending.append(
-                            pool.apply_async(_pool_load, (np.asarray(b),))
-                        )
-                    if not pending:
-                        break
-                    yield pending.pop(0).get()
-            finally:
-                pool.terminate()
+        pending = []
+        it = iter(batches)
+        while True:
+            while len(pending) < window:
+                b = next(it, None)
+                if b is None:
+                    break
+                pending.append(pool.apply_async(
+                    _pool_load, (np.asarray(b), self.seed, self.epoch)
+                ))
+            if not pending:
+                break
+            # a dead/hung worker raises instead of blocking forever
+            yield pending.pop(0).get(timeout=600)
 
     def _load(self, index_batch):
-        samples = [self.dataset[int(i)] for i in index_batch]
+        samples = []
+        for i in index_batch:
+            _seed_for_sample(self.dataset, self.seed, self.epoch, int(i))
+            samples.append(self.dataset[int(i)])
         return self.dataset.collate_batch(samples)
 
 
 _POOL_STATE = {}
 
 
-def _pool_init(dataset, seed, epoch):
+def _pool_init(dataset):
     _POOL_STATE["dataset"] = dataset
-    _POOL_STATE["seed"] = seed
-    _POOL_STATE["epoch"] = epoch
 
 
-def _pool_load(index_batch):
+def _seed_for_sample(ds, seed, epoch, index):
+    """Deterministic per-(seed, epoch, index) stream, independent of worker
+    count and scheduling: reseed the dataset's Generator (the pipeline's
+    RNG) and the legacy global state any stray np.random caller sees."""
+    ss = np.random.SeedSequence([seed, epoch, index])
+    ds.rng = np.random.default_rng(ss)
+    np.random.seed(ss.generate_state(1)[0])
+
+
+def _pool_load(index_batch, seed, epoch):
     ds = _POOL_STATE["dataset"]
     samples = []
     for i in index_batch:
-        # Deterministic per-sample stream independent of worker scheduling.
-        np.random.seed(
-            np.random.SeedSequence(
-                [_POOL_STATE["seed"], _POOL_STATE["epoch"], int(i)]
-            ).generate_state(1)[0]
-        )
+        _seed_for_sample(ds, seed, epoch, int(i))
         samples.append(ds[int(i)])
     return ds.collate_batch(samples)
 

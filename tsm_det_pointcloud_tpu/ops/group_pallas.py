@@ -43,6 +43,7 @@ All in-tree callers do.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -199,8 +200,9 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     min_r2 = min_r2 * float(FP) * float(FP)
     n_sb = Np // sb
     nq = Qp // QB
-    kc = min(KC, ns)
-    assert ns % kc == 0
+    # largest chunk <= KC that divides ns, so any config-chosen nsample
+    # (6, 10, ...) works instead of trapping on ns % KC at trace time
+    kc = math.gcd(ns, KC) if ns % min(KC, ns) else min(KC, ns)
 
     # ---- per-query-block visit lists (XLA; the kernel only streams the
     # listed source blocks — zero in-kernel skip overhead) ----

@@ -92,7 +92,9 @@ def _gather_matmul_fwd(features, idx, weight, interpret=False, bf16=False,
     # Large voxel capacities (Waymo: 16k+) don't fit a double-buffered
     # f32 feature block in VMEM — hold the resident features in bf16
     # there (accumulation stays f32). KITTI-scale caps stay f32/bitwise.
-    bf16 = bf16 or Vp * max(C, 128) * 4 * 2 > 12 * 1024 * 1024
+    if not bf16 and Vp * max(C, 128) * 4 * 2 > 12 * 1024 * 1024:
+        _warn_forced_bf16(Vp, C)
+        bf16 = True
     dot_dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
         features = features.astype(jnp.bfloat16)
@@ -135,6 +137,29 @@ def _env_bf16():
     return os.environ.get("TSM_COMPUTE_DTYPE", "") == "bfloat16"
 
 
+_WARNED_FORCED_BF16 = set()
+
+
+def _warn_forced_bf16(vp, c):
+    """One-time (per shape) notice that the VMEM heuristic downgraded the
+    forward gather/GEMM to bf16 without TSM_COMPUTE_DTYPE being set — the
+    forward rounds to bf16 while the custom-VJP backward differentiates
+    the f32 XLA reference, a deliberate but discoverable-only-here
+    numeric asymmetry at Waymo-scale voxel capacities."""
+    key = (vp, c)
+    if key not in _WARNED_FORCED_BF16:
+        _WARNED_FORCED_BF16.add(key)
+        import warnings
+
+        warnings.warn(
+            f"spconv gather_matmul: padded feature block ({vp} voxels x "
+            f"{c} ch) exceeds the 12 MB VMEM budget; forward gather/GEMM "
+            f"runs in bfloat16 (f32 accumulation). Set "
+            f"TSM_COMPUTE_DTYPE=bfloat16 to silence, or lower the voxel "
+            f"capacity for f32."
+        )
+
+
 @jax.custom_vjp
 def gather_matmul(features, idx, weight):
     """out[b, q] = sum_k weight[k]^T @ features[b, idx[b, k, q]].
@@ -144,7 +169,11 @@ def gather_matmul(features, idx, weight):
     dtype (f32 accumulation). Fast when idx is sorted per (b, k) —
     rulebooks from ops/spconv.py are; correctness never depends on it.
     TSM_COMPUTE_DTYPE=bfloat16 runs the gather + GEMM in bf16 (f32
-    accumulation); also forced automatically at large V (VMEM).
+    accumulation). bf16 is ALSO forced automatically (with a one-time
+    warning) when the padded feature block exceeds the VMEM budget
+    (Waymo-scale voxel caps): forward activations are then bf16-rounded
+    while the backward differentiates the f32 XLA reference — a small
+    forward/backward asymmetry documented here and in the warning.
     """
     return _gather_matmul_fwd(features, idx, weight, bf16=_env_bf16())
 

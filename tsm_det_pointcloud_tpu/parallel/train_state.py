@@ -46,11 +46,17 @@ def make_mesh(n_devices=None, axis="data"):
 
 def shard_batch(batch, mesh, axis="data"):
     """Place host batch on the mesh, sharded along the leading (batch) dim.
-    Non-array entries (batch_size, metadata) pass through."""
+    Arrays whose leading dim isn't the batch size (dataset constants) are
+    replicated; non-array entries (batch_size, metadata) pass through."""
     sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    bsz = int(batch.get("batch_size", 0))
 
     def put(x):
-        if isinstance(x, (np.ndarray, jnp.ndarray)) and getattr(x, "ndim", 0) > 0:
+        if (isinstance(x, (np.ndarray, jnp.ndarray))
+                and getattr(x, "ndim", 0) > 0 and x.dtype != object):
+            if bsz and x.shape[0] != bsz:
+                return jax.device_put(x, repl)
             return jax.device_put(x, sharding)
         return x
 
