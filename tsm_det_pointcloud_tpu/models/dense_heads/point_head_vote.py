@@ -86,13 +86,17 @@ def corner_loss_points(pred_boxes, gt_boxes, weights):
     gc = boxes_to_corners_3d(gt_boxes.reshape(-1, 7))
     flip = gt_boxes.reshape(-1, 7).at[:, 6].add(np.pi)
     gcf = boxes_to_corners_3d(flip)
+    # eps-normed distance + overflow-safe huber: plain norm has a NaN grad
+    # at zero distance, and where-huber leaks 0*inf through the untaken
+    # quadratic branch when a masked background row's box has exploded
+    # (see ops/loss_utils.corner_loss)
     d = jnp.minimum(
-        jnp.linalg.norm(pc - gc, axis=-1),
-        jnp.linalg.norm(pc - gcf, axis=-1),
+        jnp.sqrt(jnp.sum((pc - gc) ** 2, axis=-1) + 1e-12),
+        jnp.sqrt(jnp.sum((pc - gcf) ** 2, axis=-1) + 1e-12),
     )  # (B*N, 8)
-    # huber with delta=1
     abs_d = jnp.abs(d)
-    huber = jnp.where(abs_d < 1.0, 0.5 * d ** 2, abs_d - 0.5)
+    c = jnp.minimum(abs_d, 1.0)
+    huber = 0.5 * c * c + (abs_d - c)
     per_pt = huber.mean(axis=-1).reshape(pred_boxes.shape[:2])
     return per_pt * weights
 

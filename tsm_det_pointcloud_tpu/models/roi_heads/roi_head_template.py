@@ -182,10 +182,13 @@ def roi_losses(rcnn_cls, rcnn_reg, targets, rois, loss_cfg):
         gc = boxes_to_corners_3d(targets["gt_of_roi"].reshape(-1, 7))
         flip = targets["gt_of_roi"].reshape(-1, 7).at[:, 6].add(np.pi)
         gcf = boxes_to_corners_3d(flip)
+        # eps-normed + overflow-safe huber (see ops/loss_utils.corner_loss)
         d = jnp.minimum(
-            jnp.linalg.norm(pc - gc, axis=-1), jnp.linalg.norm(pc - gcf, axis=-1)
+            jnp.sqrt(jnp.sum((pc - gc) ** 2, axis=-1) + 1e-12),
+            jnp.sqrt(jnp.sum((pc - gcf) ** 2, axis=-1) + 1e-12),
         )
-        huber = jnp.where(d < 1.0, 0.5 * d ** 2, jnp.abs(d) - 0.5)
+        c = jnp.minimum(d, 1.0)
+        huber = 0.5 * c * c + (d - c)
         corner = huber.mean(-1).reshape(B, R)
         corner_loss = (corner * fg).sum() / jnp.maximum(fg.sum(), 1.0)
         total = total + corner_loss * w.get("rcnn_corner_weight", 1.0)

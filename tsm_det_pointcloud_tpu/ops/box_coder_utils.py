@@ -7,11 +7,25 @@ Parity targets (pcdet/utils/box_coder_utils.py):
                                    angle_bin_num-way angle cls + residual;
                                    code_size = 6 + 2*angle_bin_num
 All functions are shape-polymorphic over leading dims and jit-safe.
+
+Decoded log-sizes are clamped to [-LOG_SIZE_CLAMP, LOG_SIZE_CLAMP] before
+exp. The reference decodes raw exp, which is fine for the rows that are
+ever looked at — but the rebuild computes losses (rdiou, corner) over ALL
+fixed-capacity rows and masks afterwards, and an exploded background row
+(exp overflow -> inf) poisons gradients through 0*inf even when masked.
+Clamping inside the decoder kills the infs at the source for every
+consumer; real boxes (<= ~55 m after exp(4)) are unaffected.
 """
 from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+
+LOG_SIZE_CLAMP = 4.0
+
+
+def _safe_exp(t):
+    return jnp.exp(jnp.clip(t, -LOG_SIZE_CLAMP, LOG_SIZE_CLAMP))
 
 
 class ResidualCoder:
@@ -60,9 +74,9 @@ class ResidualCoder:
         xg = xt * diagonal + xa
         yg = yt * diagonal + ya
         zg = zt * dza + za
-        dxg = jnp.exp(dxt) * dxa
-        dyg = jnp.exp(dyt) * dya
-        dzg = jnp.exp(dzt) * dza
+        dxg = _safe_exp(dxt) * dxa
+        dyg = _safe_exp(dyt) * dya
+        dzg = _safe_exp(dzt) * dza
         if self.encode_angle_by_sincos:
             rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
         else:
@@ -116,12 +130,12 @@ class PointResidualCoder:
             xg = xt * diagonal + xa
             yg = yt * diagonal + ya
             zg = zt * dza + za
-            dxg = jnp.exp(dxt) * dxa
-            dyg = jnp.exp(dyt) * dya
-            dzg = jnp.exp(dzt) * dza
+            dxg = _safe_exp(dxt) * dxa
+            dyg = _safe_exp(dyt) * dya
+            dzg = _safe_exp(dzt) * dza
         else:
             xg, yg, zg = xt + xa, yt + ya, zt + za
-            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+            dxg, dyg, dzg = _safe_exp(dxt), _safe_exp(dyt), _safe_exp(dzt)
         rg = jnp.arctan2(sint, cost)
         rest = box_encodings[..., 8:]
         return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg, rest], axis=-1)
@@ -132,8 +146,11 @@ class PointBinResidualCoder:
 
     Parity: pcdet/utils/box_coder_utils.py:225-364. code_size =
     6 + 2 * angle_bin_num (30 for the TSM config's 12 bins).
-    Angle is wrapped to [0, 2pi), bin i covers [i*delta - delta/2, ...), the
-    residual is normalized to [0, 1) within the bin.
+    Angle is wrapped to [0, 2pi); bin i covers
+    [i*delta - delta/2, i*delta + delta/2); the residual is normalized to
+    [-0.5, 0.5) within the bin and decode is (bin + res) * delta — the
+    reference's exact convention (:239-273), so converted torch reg heads
+    decode identically.
     """
 
     def __init__(self, code_size=30, use_mean_size=False, angle_bin_num=12, **kwargs):
@@ -144,12 +161,12 @@ class PointBinResidualCoder:
         self.code_size = 6 + 2 * self.angle_bin_num
 
     def encode_angle(self, angle):
-        """(N,) -> one-hot (N, bins), residual-in-[0,1) one-hot (N, bins)."""
+        """(N,) -> one-hot (N, bins), residual-in-[-0.5,0.5) one-hot."""
         angle = angle % (2 * np.pi)
         delta = 2 * np.pi / self.angle_bin_num
         shifted = (angle + delta / 2) % (2 * np.pi)
         bin_id = jnp.floor(shifted / delta).astype(jnp.int32)
-        res = shifted / delta - bin_id  # in [0, 1)
+        res = shifted / delta - bin_id.astype(angle.dtype) - 0.5
         one_hot = jnp.eye(self.angle_bin_num, dtype=angle.dtype)[bin_id]
         res_oh = one_hot * res[..., None]
         return one_hot, res_oh
@@ -159,7 +176,7 @@ class PointBinResidualCoder:
         bin_id = jnp.argmax(angle_cls, axis=-1)
         res = jnp.take_along_axis(angle_res, bin_id[..., None], axis=-1)[..., 0]
         delta = 2 * np.pi / self.angle_bin_num
-        angle = bin_id.astype(angle_res.dtype) * delta + (res - 0.5) * delta
+        angle = (bin_id.astype(angle_res.dtype) + res) * delta
         return angle[..., None]
 
     def encode(self, gt_boxes, points, gt_classes=None):
@@ -192,12 +209,12 @@ class PointBinResidualCoder:
             xg = xt * diagonal + xa
             yg = yt * diagonal + ya
             zg = zt * dza + za
-            dxg = jnp.exp(dxt) * dxa
-            dyg = jnp.exp(dyt) * dya
-            dzg = jnp.exp(dzt) * dza
+            dxg = _safe_exp(dxt) * dxa
+            dyg = _safe_exp(dyt) * dya
+            dzg = _safe_exp(dzt) * dza
         else:
             xg, yg, zg = xt + xa, yt + ya, zt + za
-            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+            dxg, dyg, dzg = _safe_exp(dxt), _safe_exp(dyt), _safe_exp(dzt)
         angle_cls = box_encodings[..., 6 : 6 + self.angle_bin_num]
         angle_res = box_encodings[..., 6 + self.angle_bin_num :]
         rg = self.decode_angle(angle_cls, angle_res)
@@ -219,9 +236,9 @@ class PreviousResidualDecoder:
         xg = xt * diagonal + xa
         yg = yt * diagonal + ya
         zg = zt * dza + za
-        dxg = jnp.exp(lt) * dxa
-        dyg = jnp.exp(wt) * dya
-        dzg = jnp.exp(ht) * dza
+        dxg = _safe_exp(lt) * dxa
+        dyg = _safe_exp(wt) * dya
+        dzg = _safe_exp(ht) * dza
         rg = rt + ra
         extra_t = box_encodings[..., 7:]
         extra_a = anchors[..., 7 : 7 + extra_t.shape[-1]]

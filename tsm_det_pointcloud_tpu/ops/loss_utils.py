@@ -56,7 +56,11 @@ def weighted_smooth_l1(preds, targets, weights=None, beta=1.0 / 9.0,
     if beta < 1e-5:
         loss = n
     else:
-        loss = jnp.where(n < beta, 0.5 * n ** 2 / beta, n - 0.5 * beta)
+        # overflow-safe huber: never squares an unbounded residual, so a
+        # masked-out exploded row can't poison gradients via the untaken
+        # where-branch (0 * inf -> NaN)
+        c = jnp.minimum(n, beta)
+        loss = 0.5 * c * c / beta + (n - c)
     if weights is not None:
         if weights.ndim < loss.ndim:
             weights = weights[..., None]
@@ -101,13 +105,16 @@ def corner_loss(pred_boxes7, gt_boxes7, delta=1.0):
     gt_c = boxes_to_corners_3d(gt_boxes7)
     gt_flip = gt_boxes7.at[:, 6].add(jnp.pi)
     gt_c_flip = boxes_to_corners_3d(gt_flip)
+    # sqrt(sum + eps): a plain norm has a NaN gradient at exactly-zero
+    # distance (perfect prediction / flipped-heading tie)
     d = jnp.minimum(
-        jnp.linalg.norm(pred_c - gt_c, axis=-1),
-        jnp.linalg.norm(pred_c - gt_c_flip, axis=-1),
+        jnp.sqrt(jnp.sum((pred_c - gt_c) ** 2, axis=-1) + 1e-12),
+        jnp.sqrt(jnp.sum((pred_c - gt_c_flip) ** 2, axis=-1) + 1e-12),
     )  # (N, 8)
-    # huber
+    # overflow-safe huber (see weighted_smooth_l1)
     abs_d = jnp.abs(d)
-    h = jnp.where(abs_d < delta, 0.5 * d ** 2 / delta, abs_d - 0.5 * delta)
+    c = jnp.minimum(abs_d, delta)
+    h = 0.5 * c * c / delta + (abs_d - c)
     return jnp.mean(h, axis=1)
 
 
