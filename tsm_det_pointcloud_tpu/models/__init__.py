@@ -57,12 +57,14 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
     }
     from .backbones_2d.point_bev_hybrids import (
         BEVPoint, PointFromVoxel, SparsePointBackbone,
+        VoxelPointCross as VoxelPointCross2D,
     )
     backbone2d_registry = {
         "BaseBEVBackbone": BaseBEVBackbone,
         "BEVPoint": BEVPoint,
         "PointFromVoxel": PointFromVoxel,
         "SparsePointBackbone": SparsePointBackbone,
+        "VoxelPointCross": VoxelPointCross2D,
     }
     dense_head_registry = {"AnchorHeadSingle": AnchorHeadSingle,
                            "AnchorHeadMulti": AnchorHeadMulti,
@@ -222,10 +224,19 @@ def build_module_list(model_cfg, num_class, meta: DatasetMeta):
         infos.append(("pfe", model_cfg["PFE"]["NAME"]))
 
     if model_cfg.get("BACKBONE_2D") is not None:
-        m = backbone2d_registry[model_cfg["BACKBONE_2D"]["NAME"]](
+        b2d_name = model_cfg["BACKBONE_2D"]["NAME"]
+        b2d_kwargs = dict(
             model_cfg=dict(model_cfg["BACKBONE_2D"]),
             input_channels=cur_bev_channels,
         )
+        if b2d_name != "BaseBEVBackbone":
+            # the hybrid backbones read point geometry (reference ctor
+            # signature, backbones_2d/__init__ call sites)
+            b2d_kwargs.update(
+                voxel_size=tuple(meta.voxel_size),
+                point_cloud_range=tuple(meta.point_cloud_range),
+            )
+        m = backbone2d_registry[b2d_name](**b2d_kwargs)
         modules.append(m)
         infos.append(("backbone_2d", model_cfg["BACKBONE_2D"]["NAME"]))
         cur_bev_channels = m.get_output_feature_dim()
