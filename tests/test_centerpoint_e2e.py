@@ -12,6 +12,8 @@ from tsm_det_pointcloud_tpu.models.detectors.detector3d_template import DatasetM
 from tsm_det_pointcloud_tpu.models.model_utils import centernet_utils
 
 
+
+pytestmark = pytest.mark.slow
 def model_cfg():
     return EDict({
         "NAME": "CenterPoint",

@@ -1,10 +1,13 @@
 """torch->orbax converter rule tests (synthetic state_dict; no real .pth)."""
+import pytest
 import numpy as np
 import torch
 
 import sys
 from pathlib import Path
 
+
+pytestmark = pytest.mark.slow
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from convert_torch_ckpt import convert_state_dict, convert_weight, graft_into_tree
 

@@ -3,6 +3,7 @@ must build the data mesh itself (reference trains distributed out of the
 box, tools/train.py:60-73,154-155), shard each batch disjointly across
 devices, keep params replicated, stream tb_dict metrics to JSONL, and
 repeat-eval the trailing checkpoints in-process (tools/train.py:192-209)."""
+import pytest
 import json
 import sys
 from pathlib import Path
@@ -12,6 +13,8 @@ import numpy as np
 from tests.test_cli_roundtrip import write_mini_cfg
 from tests.test_kitti_pipeline import dataset_cfg, make_kitti_root
 
+
+pytestmark = pytest.mark.slow
 REPO = Path(__file__).resolve().parent.parent
 
 

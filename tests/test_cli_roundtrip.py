@@ -8,6 +8,8 @@ import pytest
 
 from tests.test_kitti_pipeline import dataset_cfg, make_kitti_root
 
+
+pytestmark = pytest.mark.slow
 REPO = Path(__file__).resolve().parent.parent
 
 MINI_MODEL = """

@@ -25,6 +25,8 @@ from tsm_det_pointcloud_tpu.models.neck.voxel_point_cross import (
 )
 from tsm_det_pointcloud_tpu.ops import spconv as sp_ops
 
+pytestmark = pytest.mark.slow
+
 PCR = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
 VOXEL = (0.5, 0.5, 0.1)
 

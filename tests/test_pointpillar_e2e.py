@@ -11,6 +11,8 @@ from tsm_det_pointcloud_tpu.models import build_network
 from tsm_det_pointcloud_tpu.models.detectors.detector3d_template import DatasetMeta
 
 
+
+pytestmark = pytest.mark.slow
 def tiny_model_cfg():
     return EDict(
         {

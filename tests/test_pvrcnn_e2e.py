@@ -10,6 +10,8 @@ from tsm_det_pointcloud_tpu.models import build_network
 from tsm_det_pointcloud_tpu.models.detectors.detector3d_template import DatasetMeta
 
 
+
+pytestmark = pytest.mark.slow
 def model_cfg():
     return EDict({
         "NAME": "PVRCNN",

@@ -80,6 +80,8 @@ def test_partial_load_merges_matching():
     np.testing.assert_array_equal(merged["a"], np.ones((2,)))
     np.testing.assert_array_equal(merged["b"]["c"], np.zeros((3,)))
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_step_with_statistics_collection():
     import flax.linen as nn

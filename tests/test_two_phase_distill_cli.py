@@ -5,6 +5,7 @@ accumulating), phase 2 trains the distilled student from
 teacher subtree is bit-identical between the teacher checkpoint and the
 post-training distillation checkpoint (loaded + frozen), while student
 parameters moved."""
+import pytest
 import sys
 from pathlib import Path
 
@@ -13,6 +14,8 @@ import yaml
 
 from tests.test_kitti_pipeline import dataset_cfg, make_kitti_root
 
+
+pytestmark = pytest.mark.slow
 REPO = Path(__file__).resolve().parent.parent
 
 PCR = [0.0, -20.0, -3.0, 64.0, 20.0, 2.0]

@@ -10,6 +10,8 @@ from tsm_det_pointcloud_tpu.utils.edict import EDict
 from tsm_det_pointcloud_tpu.models import build_network
 from tsm_det_pointcloud_tpu.models.detectors.detector3d_template import DatasetMeta
 
+
+pytestmark = pytest.mark.slow
 PCR = (0.0, -8.0, -3.0, 16.0, 8.0, 1.0)
 
 

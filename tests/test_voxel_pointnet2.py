@@ -13,6 +13,8 @@ from tsm_det_pointcloud_tpu.models.backbones_3d.voxel_pointnet2_backbone import 
 )
 from tsm_det_pointcloud_tpu.utils.edict import EDict
 
+pytestmark = pytest.mark.slow
+
 PCR = [0.0, -8.0, -2.0, 16.0, 8.0, 2.0]
 VOXEL = [0.25, 0.25, 0.25]  # factored size = 1.0 with FACTOR=4
 
