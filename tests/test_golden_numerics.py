@@ -288,3 +288,80 @@ def test_ap_r11_vs_r40_interleaved_fp_golden():
     np.testing.assert_allclose(ret["Car_3d/moderate_R40"], exp_r40, atol=1e-5)
     # hand-summed spot value for the R11 grid
     np.testing.assert_allclose(exp_r11, 56.10914, atol=1e-4)
+
+
+def test_vote_head_loss_targets_are_constants():
+    """Regression: the cls quality label (centerness x rdiou) and the
+    box/vote target assignment must be CONSTANTS w.r.t. the predictions.
+
+    With a differentiable rd factor in the cls label, dBCE/dtarget =
+    -logit > 0 while logits are negative, so the cls loss (weight 1.0)
+    lowers itself by shrinking predicted boxes until rd -> 0 — observed
+    as sizes diverging from targets in overfit runs. Asserts
+    d(cls_loss)/d(box_preds) == 0 and d(vote/off targets)/d(vote) == 0.
+    """
+    import jax
+
+    from tsm_det_pointcloud_tpu.models.dense_heads.point_head_vote import (
+        _branch_losses,
+    )
+
+    coder = PointBinResidualCoder(use_mean_size=False, angle_bin_num=12)
+    cfg = {
+        "TARGET_CONFIG": {"VOTE_EXTRA_WIDTH": [0.1, 0.1, 0.1],
+                          "GT_CENTRAL_RADIUS": 10.0},
+        "LOSS_CONFIG": {
+            "CORNER_LOSS_REGULARIZATION": False,
+            "RDIOU_REGRESS_REGULARIZATION": False,
+            "LOSS_WEIGHTS": {
+                "vote_reg_weight": 1.0, "point_cls_weight": 1.0,
+                "point_offset_reg_weight": 1.0,
+                "point_angle_cls_weight": 1.0,
+                "point_angle_reg_weight": 1.0,
+            },
+        },
+    }
+    B, N, C = 1, 8, 3
+    rng = np.random.default_rng(0)
+    gt = np.zeros((B, 2, 8), np.float32)
+    gt[0, 0] = [5, 0, -1, 3.9, 1.6, 1.56, 0.3, 1]
+    gt[0, 1] = [12, 3, -1, 3.9, 1.6, 1.56, -0.7, 2]
+    gv = np.ones((B, 2), bool)
+    vote = jnp.asarray(
+        gt[:, [0, 0, 1, 1, 0, 1, 0, 1], :3]
+        + rng.normal(0, 0.2, (B, N, 3)).astype(np.float32)
+    )
+    reg = jnp.asarray(rng.normal(0, 0.3, (B, N, coder.code_size)).astype(np.float32))
+    cls_logits = jnp.asarray(rng.normal(-3, 1, (B, N, C)).astype(np.float32))
+
+    def cls_loss_of_reg(reg_preds):
+        out = dict(
+            candidate_xyz=vote, candidate_valid=jnp.ones((B, N), bool),
+            vote_xyz=vote, cls_preds=cls_logits, reg_preds=reg_preds,
+            box_preds=coder.decode(reg_preds, vote),
+        )
+        _, _, tb = _branch_losses(out, jnp.asarray(gt), jnp.asarray(gv),
+                                  coder, cfg, C)
+        return tb["cls_loss"]
+
+    g = jax.grad(cls_loss_of_reg)(reg)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=0,
+                               err_msg="cls quality label leaks gradient "
+                                       "into the box predictions")
+
+    # and the vote->target path: off loss grad w.r.t. vote must come only
+    # through the VSA features (none here), not through the targets
+    def off_loss_of_vote(vote_xyz):
+        out = dict(
+            candidate_xyz=vote, candidate_valid=jnp.ones((B, N), bool),
+            vote_xyz=vote_xyz, cls_preds=cls_logits, reg_preds=reg,
+            box_preds=coder.decode(reg, vote_xyz),
+        )
+        _, _, tb = _branch_losses(out, jnp.asarray(gt), jnp.asarray(gv),
+                                  coder, cfg, C)
+        return tb["box_off"]
+
+    g2 = jax.grad(off_loss_of_vote)(vote)
+    np.testing.assert_allclose(np.asarray(g2), 0.0, atol=0,
+                               err_msg="target assignment leaks gradient "
+                                       "into the votes")

@@ -73,6 +73,38 @@ def test_checkpoint_roundtrip_and_rotation(tmp_path):
     assert int(loaded["it"]) == 42
 
 
+def test_checkpoint_fallback_format_roundtrip(tmp_path, monkeypatch):
+    """The no-orbax fallback (state.pkl) must round-trip, and a fallback
+    checkpoint must restore even when orbax IS available (portability
+    across dependency states)."""
+    import tsm_det_pointcloud_tpu.runtime.checkpoint as ck
+
+    state = {
+        "params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "batch_stats": {}, "statistics": {}, "opt_state": {"m": np.ones(3)},
+        "epoch": 1, "it": 7,
+    }
+    monkeypatch.setattr(ck, "_HAS_ORBAX", False)
+    path = ck.save_checkpoint(state, tmp_path, 1)
+    assert os.path.exists(os.path.join(path, "state.pkl"))
+    loaded = ck.restore_checkpoint(path)
+    np.testing.assert_array_equal(loaded["params"]["a"], state["params"]["a"])
+    assert int(loaded["it"]) == 7
+    # restore-into-target path
+    tgt = {k: (np.zeros_like(v) if isinstance(v, np.ndarray) else 0)
+           for k, v in [("epoch", 0), ("it", 0)]}
+    # full-structure target
+    import jax
+
+    tgt = jax.tree_util.tree_map(lambda x: np.zeros_like(np.asarray(x)), state)
+    loaded2 = ck.restore_checkpoint(path, target=tgt)
+    np.testing.assert_array_equal(loaded2["params"]["a"], state["params"]["a"])
+    # orbax present again: the pkl format still restores (auto-detect)
+    monkeypatch.setattr(ck, "_HAS_ORBAX", True)
+    loaded3 = ck.restore_checkpoint(path)
+    np.testing.assert_array_equal(loaded3["params"]["a"], state["params"]["a"])
+
+
 def test_partial_load_merges_matching():
     params = {"a": np.zeros((2,)), "b": {"c": np.zeros((3,))}}
     loaded = {"a": np.ones((2,)), "b": {"c": np.ones((4,))}}  # c mismatched

@@ -22,6 +22,22 @@ import jax.numpy as jnp
 from ...ops import grouping, sampling
 
 
+def safe_bn_mask(mask):
+    """Guard a BatchNorm element mask against the all-empty case.
+
+    flax computes masked stats as mean(x, where=mask); a mask with zero
+    true entries yields NaN mean/var which would poison batch_stats (and
+    every later eval forward).  Empty groups DO occur (e.g. a dilated
+    voxel-query annulus with no centroids in range), so when the mask is
+    empty, fall back to all-True: inputs are already where-masked to 0,
+    giving mean 0 / var 0 — finite and harmless.
+    """
+    if mask is None:
+        return None
+    empty = jnp.logical_not(jnp.any(mask))
+    return jnp.logical_or(mask, empty)
+
+
 class SharedMLP(nn.Module):
     """Dense + BN + ReLU stack over the trailing channel axis."""
     channels: Sequence[int]
@@ -29,6 +45,7 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, training=False, mask=None):
+        mask = safe_bn_mask(mask)
         for i, c in enumerate(self.channels):
             x = nn.Dense(c, use_bias=not self.use_norm, name=f"fc{i}")(x)
             if self.use_norm:

@@ -34,7 +34,7 @@ import numpy as np
 
 from ...ops import group_pallas, grouping, sampling, spconv as sp_ops, topk
 from ...ops.voxel import voxel_centroids, voxel_query
-from .pointnet2_modules import SharedMLP
+from .pointnet2_modules import SharedMLP, safe_bn_mask
 from .spconv_backbone import (
     SparseConv,
     SparseInverseConv,
@@ -67,6 +67,7 @@ class _MLPNoFinalRelu(nn.Module):
     @nn.compact
     def __call__(self, x, training=False, mask=None):
         n = len(self.channels)
+        mask = safe_bn_mask(mask)
         for i, c in enumerate(self.channels):
             x = nn.Dense(c, use_bias=False, name=f"fc{i}")(x)
             x = nn.BatchNorm(

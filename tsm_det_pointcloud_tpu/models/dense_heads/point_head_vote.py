@@ -16,6 +16,7 @@ the class-statistics buffers live in the flax "statistics" collection
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -302,11 +303,24 @@ class VoteHeadBranch(nn.Module):
 
 
 def _branch_losses(out, gt_boxes, gt_valid, box_coder, cfg, num_class,
-                   prefix=""):
+                   prefix="", teacher_out=None):
     """Vote + cls(centerness x rdiou) + box(offset/angle/rdiou/corner)
-    losses for one branch. Returns (targets, loss, tb_dict)."""
+    losses for one branch. Returns (targets, loss, tb_dict).
+
+    teacher_out=None  -> teacher-training semantics (code_board.py:
+      sqrt quality labels, full-weight gt terms).
+    teacher_out given -> distillation semantics (point_head_vote_sasa_
+      statistic_distillation.py:682-882: pow-0.25 quality labels, each
+      loss blended with the teacher: cls 0.5 gt + 0.5 bce(s/3, sig(t/3)),
+      offsets 0.5/0.5, rdiou 0.5/0.5, corner 0.3 gt + 0.7 teacher).
+    """
     w = cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
     tb = {}
+    distill = teacher_out is not None
+    qpow = 0.25 if distill else 0.5
+
+    def quality(x):
+        return (x + 1e-8) ** qpow
 
     # vote loss
     extra = cfg["TARGET_CONFIG"].get("VOTE_EXTRA_WIDTH")
@@ -321,26 +335,51 @@ def _branch_losses(out, gt_boxes, gt_valid, box_coder, cfg, num_class,
     ).sum() * w["vote_reg_weight"]
     tb[prefix + "vote_loss"] = vote_loss
 
-    # box/cls targets at vote positions
+    # box/cls targets at vote positions. stop_gradient on the assignment
+    # input: reg targets are xt = gt_center - vote, so a differentiable
+    # vote creates a target-chases-prediction feedback loop (the off loss
+    # gradient pushes votes AWAY from centers to move the target toward
+    # the prediction) that stalls both the vote and offset losses.  The
+    # reference reproduces this path un-detached (code_board.py:305-365
+    # backprops through encode into vote coords); treating targets as
+    # constants is the standard and intended semantics.
     radius = float(cfg["TARGET_CONFIG"].get("GT_CENTRAL_RADIUS", 10.0))
     labels, reg_labels, box_labels = assign_targets_mask(
-        out["vote_xyz"], gt_boxes, gt_valid, box_coder, radius
+        jax.lax.stop_gradient(out["vote_xyz"]), gt_boxes, gt_valid,
+        box_coder, radius,
     )
     labels = jnp.where(out["candidate_valid"], labels, -1)
     pos = labels > 0
     neg = labels == 0
     cls_w = (pos | neg).astype(jnp.float32)
 
-    # centerness x rdiou cls target
+    # centerness x rdiou cls target (sqrt teacher / pow-0.25 distillation).
+    # centerness is no-grad in the reference (@torch.no_grad on
+    # generate_centerness_label).  The whole quality label is treated as a
+    # constant: while cls logits are negative, dBCE/dtarget = -logit > 0,
+    # so a differentiable rd factor lets the cls loss (weight 1.0) shrink
+    # itself by destroying box overlap (rd -> 0), overpowering the 0.1-
+    # weight offset loss — observed as sizes diverging from their targets
+    # in overfit runs.  Box quality gradients belong to the rdiou/corner
+    # regularizers below.
     B, N = labels.shape
     cent = jax.vmap(loss_utils.centerness_label)(
-        out["vote_xyz"], box_labels, pos
+        jax.lax.stop_gradient(out["vote_xyz"]), box_labels, pos
     )
-    _, rd = loss_utils.rdiou(out["box_preds"], box_labels)
-    cent = jnp.where(pos, jnp.sqrt(cent * rd + 1e-8), cent)
+    _, rd = loss_utils.rdiou(
+        jax.lax.stop_gradient(out["box_preds"]), box_labels
+    )
+    cent = jnp.where(pos, quality(cent * rd), cent)
     one_hot = jax.nn.one_hot(jnp.clip(labels, 0), num_class + 1)[..., 1:]
     one_hot = one_hot * cent[..., None]
     cls_loss_pt = _bce_logits(out["cls_preds"], one_hot).sum(-1) * cls_w
+    if distill:
+        # 0.5 gt + 0.5 soft-teacher (both logit sets tempered by /3)
+        t_soft = jax.nn.sigmoid(
+            jax.lax.stop_gradient(teacher_out["cls_preds"]) / 3.0
+        )
+        distill_pt = _bce_logits(out["cls_preds"] / 3.0, t_soft).sum(-1) * cls_w
+        cls_loss_pt = 0.5 * cls_loss_pt + 0.5 * distill_pt
     cls_norm = jnp.maximum(pos.sum(), 1.0)
     cls_loss = cls_loss_pt.sum() / cls_norm * w["point_cls_weight"]
     tb[prefix + "cls_loss"] = cls_loss
@@ -350,7 +389,15 @@ def _branch_losses(out, gt_boxes, gt_valid, box_coder, cfg, num_class,
     nbin = box_coder.angle_bin_num
     off_l = loss_utils.weighted_smooth_l1(
         out["reg_preds"][..., :6], reg_labels[..., :6], weights=rw
-    ).sum(-1) * w["point_offset_reg_weight"]
+    ).sum(-1)
+    if distill:
+        t_off = loss_utils.weighted_smooth_l1(
+            out["reg_preds"][..., :6],
+            jax.lax.stop_gradient(teacher_out["reg_preds"][..., :6]),
+            weights=rw,
+        ).sum(-1)
+        off_l = 0.5 * off_l + 0.5 * t_off
+    off_l = off_l * w["point_offset_reg_weight"]
     ang_cls_lab = reg_labels[..., 6:6 + nbin]
     ang_logits = out["reg_preds"][..., 6:6 + nbin]
     ce = -jax.nn.log_softmax(ang_logits) * ang_cls_lab
@@ -365,19 +412,55 @@ def _branch_losses(out, gt_boxes, gt_valid, box_coder, cfg, num_class,
     aux = jnp.zeros_like(box_loss_pt)
     if cfg["LOSS_CONFIG"].get("RDIOU_REGRESS_REGULARIZATION", False):
         cent2 = jax.vmap(loss_utils.centerness_label)(
-            out["vote_xyz"], box_labels, pos
+            jax.lax.stop_gradient(out["vote_xyz"]), box_labels, pos
         )
         _, rd2 = loss_utils.rdiou(out["box_preds"], box_labels)
-        iou_l = (1.0 - jnp.sqrt(rd2 * cent2 + 1e-8)) * w["point_iou_weight"]
-        aux = aux + jnp.where(pos, iou_l, 0.0)
+        iou_l = 1.0 - quality(rd2 * cent2)
+        if distill:
+            t_box = jax.lax.stop_gradient(teacher_out["box_preds"])
+            t_cent = jax.vmap(loss_utils.centerness_label)(
+                jax.lax.stop_gradient(out["vote_xyz"]), t_box, pos
+            )
+            _, t_rd = loss_utils.rdiou(out["box_preds"], t_box)
+            iou_l = 0.5 * iou_l + 0.5 * (1.0 - quality(t_rd * t_cent))
+        aux = aux + jnp.where(pos, iou_l * w["point_iou_weight"], 0.0)
     if cfg["LOSS_CONFIG"].get("CORNER_LOSS_REGULARIZATION", False):
         corner = corner_loss_points(
             out["box_preds"], box_labels, pos.astype(jnp.float32)
         ) * w["point_corner_weight"]
+        if distill:
+            t_corner = corner_loss_points(
+                out["box_preds"],
+                jax.lax.stop_gradient(teacher_out["box_preds"]),
+                pos.astype(jnp.float32),
+            ) * w["point_corner_weight"]
+            corner = 0.3 * corner + 0.7 * t_corner
         aux = aux + corner
     box_norm = jnp.maximum(pos.sum(), 1.0)
     box_loss = (box_loss_pt * rw + aux).sum() / box_norm
     tb[prefix + "box_loss"] = box_loss
+    tb[prefix + "box_off"] = (off_l * rw).sum() / box_norm
+    tb[prefix + "box_ang"] = ((ang_cls_l + ang_reg_l) * rw).sum() / box_norm
+    tb[prefix + "box_aux"] = aux.sum() / box_norm
+    tb[prefix + "n_pos"] = pos.sum().astype(jnp.float32)
+    if os.environ.get("TSM_DEBUG_LOSS"):
+        pw = rw[..., None] / box_norm
+        tb[prefix + "dbg_off_xyz"] = (jnp.abs(
+            out["reg_preds"][..., :3] - reg_labels[..., :3]) * pw).sum()
+        tb[prefix + "dbg_off_size"] = (jnp.abs(
+            out["reg_preds"][..., 3:6] - reg_labels[..., 3:6]) * pw).sum()
+        tb[prefix + "dbg_pred_size"] = (
+            out["reg_preds"][..., 3:6] * pw).sum() / 3
+        tb[prefix + "dbg_lab_size"] = (reg_labels[..., 3:6] * pw).sum() / 3
+        tb[prefix + "dbg_pred_xyz_abs"] = (jnp.abs(
+            out["reg_preds"][..., :3]) * pw).sum() / 3
+        tb[prefix + "dbg_lab_xyz_abs"] = (jnp.abs(
+            reg_labels[..., :3]) * pw).sum() / 3
+        _, rdq = loss_utils.rdiou(out["box_preds"], box_labels)
+        tb[prefix + "dbg_rd"] = (rdq * rw).sum() / box_norm
+        cq = jax.vmap(loss_utils.centerness_label)(
+            jax.lax.stop_gradient(out["vote_xyz"]), box_labels, pos)
+        tb[prefix + "dbg_cent"] = (cq * rw).sum() / box_norm
 
     targets = dict(labels=labels, reg_labels=reg_labels,
                    box_labels=box_labels, pos=pos)
@@ -536,35 +619,17 @@ class PointHeadVoteSASAStatisticDistillation(nn.Module):
             t_out = jax.tree_util.tree_map(jax.lax.stop_gradient, t_out)
 
             gt, gv = batch_dict["gt_boxes"], batch_dict["gt_boxes_mask"]
+            # distillation terms are blended INSIDE each loss (0.5 gt +
+            # 0.5 teacher; corner 0.3/0.7; pow-0.25 quality labels) —
+            # point_head_vote_sasa_statistic_distillation.py:682-882
             targets, s_loss, tb = _branch_losses(
                 s_out, gt, gv, self.box_coder, self.model_cfg,
-                self.num_class, prefix="s_",
+                self.num_class, prefix="s_", teacher_out=t_out,
             )
-            # distillation terms (0.5 gt + 0.5 teacher mixing,
-            # point_head_vote_sasa_statistic_distillation.py:682-882)
-            pos = targets["pos"]
-            rw = pos.astype(jnp.float32)
-            norm = jnp.maximum(pos.sum(), 1.0)
-            w = self.model_cfg["LOSS_CONFIG"]["LOSS_WEIGHTS"]
-            distill_cls = _bce_logits(
-                s_out["cls_preds"], jax.nn.sigmoid(t_out["cls_preds"] / 3.0)
-            ).sum(-1)
-            cls_w = (targets["labels"] >= 0).astype(jnp.float32)
-            distill_cls = (distill_cls * cls_w).sum() / norm
-            distill_box = loss_utils.weighted_smooth_l1(
-                s_out["reg_preds"], t_out["reg_preds"], weights=rw
-            ).sum() / norm
-            distill = 0.5 * distill_cls * w["point_cls_weight"] + \
-                0.5 * distill_box * w["point_offset_reg_weight"]
-            corner_t = corner_loss_points(
-                s_out["box_preds"], t_out["box_preds"], rw
-            ).sum() / norm * w["point_corner_weight"]
-            distill = distill + 0.7 * corner_t
-            tb["distill_loss"] = distill
 
             sasa, tb2 = _sasa_loss(
                 batch_dict, gt, gv, self.model_cfg, self.num_class
             )
-            batch_dict["loss"] = s_loss + distill + sasa
+            batch_dict["loss"] = s_loss + sasa
             batch_dict["tb_dict"] = {**tb, **tb2}
         return batch_dict

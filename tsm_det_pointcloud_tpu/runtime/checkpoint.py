@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import pickle
 import re
 import shutil
 
@@ -39,12 +40,11 @@ def save_checkpoint(state, ckpt_dir, epoch, max_ckpt_save_num=30):
     if _HAS_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.abspath(path), state, force=True)
-    else:  # dependency-gated fallback
+    else:  # dependency-gated fallback: pickled numpy pytree (same trust
+        # model as the reference's torch.save, train_utils.py:166)
         os.makedirs(path, exist_ok=True)
-        flat, treedef = jax.tree_util.tree_flatten(state)
-        np.savez(os.path.join(path, "state.npz"), *flat)
-        with open(os.path.join(path, "treedef.txt"), "w") as f:
-            f.write(str(treedef))
+        with open(os.path.join(path, "state.pkl"), "wb") as f:
+            pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
     # rotation (train_utils.py:147-152)
     ckpts = sorted(
         glob.glob(os.path.join(str(ckpt_dir), "checkpoint_epoch_*")),
@@ -63,14 +63,33 @@ def latest_checkpoint(ckpt_dir):
 
 
 def restore_checkpoint(path, target=None):
-    """Restore a pytree; with `target`, restores into its structure."""
+    """Restore a pytree; with `target`, restores into its structure.
+
+    Auto-detects the format: a `state.pkl` inside the directory is the
+    dependency-gated fallback written when orbax is absent; anything else
+    is an orbax PyTree checkpoint. Either format restores under either
+    dependency state (pkl is readable without orbax and vice versa), so
+    checkpoints are portable across environments.
+    """
+    pkl = os.path.join(str(path), "state.pkl")
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as f:
+            state = pickle.load(f)
+        if target is not None:
+            tdef = jax.tree_util.tree_structure(target)
+            return jax.tree_util.tree_unflatten(
+                tdef, jax.tree_util.tree_leaves(state)
+            )
+        return state
     if _HAS_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         if target is not None:
             target = jax.tree_util.tree_map(np.asarray, target)
             return ckptr.restore(os.path.abspath(path), item=target)
         return ckptr.restore(os.path.abspath(path))
-    raise RuntimeError("orbax unavailable and no fallback reader implemented")
+    raise RuntimeError(
+        "orbax unavailable and %s has no state.pkl fallback" % path
+    )
 
 
 def partial_load(params, loaded, logger=None):
