@@ -186,3 +186,54 @@ def test_binary_fallback_matches_dense_table(monkeypatch):
     monkeypatch.setattr(spmod, "DENSE_TABLE_MAX_CELLS", 0)
     out_binary = np.asarray(spmod.subm_conv3d(*args))
     np.testing.assert_allclose(out_dense, out_binary, rtol=1e-5, atol=1e-6)
+
+
+def test_shared_plan_matches_unshared():
+    """build_conv_plan / build_inverse_rulebook reuse must be numerically
+    identical to the self-computing paths (the TSM mini U-Nets share one
+    plan across teacher layers 1..2 + the student layer)."""
+    from tsm_det_pointcloud_tpu.ops.spconv import (
+        build_conv_plan,
+        build_inverse_rulebook,
+    )
+
+    rng = np.random.RandomState(11)
+    feats, coords, valid = make_sparse(rng, 20, cin=3)
+    w_down = rng.randn(27, 3, 4).astype(np.float32) * 0.1
+    out_grid = (3, 4, 4)
+    plan = build_conv_plan(
+        jnp.array(coords), jnp.array(valid), GRID, out_grid,
+        kernel_size=3, stride=2, padding=1, out_capacity=64,
+    )
+    args = (jnp.array(feats), jnp.array(coords), jnp.array(valid),
+            jnp.array(w_down), GRID, out_grid)
+    kw = dict(kernel_size=3, stride=2, padding=1, out_capacity=64)
+    of_a, oc_a, ov_a = sparse_conv3d(*args, **kw)
+    of_b, oc_b, ov_b = sparse_conv3d(*args, **kw, plan=plan)
+    np.testing.assert_array_equal(np.asarray(oc_a), np.asarray(oc_b))
+    np.testing.assert_array_equal(np.asarray(ov_a), np.asarray(ov_b))
+    np.testing.assert_allclose(np.asarray(of_a), np.asarray(of_b))
+
+    # a second conv with different weights reuses the same plan
+    w2 = rng.randn(27, 3, 4).astype(np.float32) * 0.1
+    of_c = sparse_conv3d(*args[:3], jnp.array(w2), GRID, out_grid, **kw)[0]
+    of_d = sparse_conv3d(*args[:3], jnp.array(w2), GRID, out_grid, **kw,
+                         plan=plan)[0]
+    np.testing.assert_allclose(np.asarray(of_c), np.asarray(of_d))
+
+    # inverse conv back onto the fine set with/without a shared rulebook
+    w_up = rng.randn(27, 4, 3).astype(np.float32) * 0.1
+    rb = build_inverse_rulebook(
+        oc_a, ov_a, jnp.array(coords), jnp.array(valid), out_grid,
+        kernel_size=3, stride=2, padding=1,
+    )
+    iv_a = inverse_conv3d(
+        of_a, oc_a, ov_a, jnp.array(w_up), jnp.array(coords),
+        jnp.array(valid), out_grid, kernel_size=3, stride=2, padding=1,
+    )
+    iv_b = inverse_conv3d(
+        of_a, oc_a, ov_a, jnp.array(w_up), jnp.array(coords),
+        jnp.array(valid), out_grid, kernel_size=3, stride=2, padding=1,
+        rulebook=rb,
+    )
+    np.testing.assert_allclose(np.asarray(iv_a), np.asarray(iv_b))

@@ -84,7 +84,9 @@ class SubMConv(nn.Module):
 
 
 class SparseConv(nn.Module):
-    """Strided sparse conv + BN + ReLU; changes the position set."""
+    """Strided sparse conv + BN + ReLU; changes the position set. Pass
+    `plan` (sp.build_conv_plan) when several strided convs share an input
+    position set — out-coord construction + the probe dominate."""
     out_channels: int
     kernel_size: tuple | int = 3
     stride: tuple | int = 2
@@ -94,7 +96,8 @@ class SparseConv(nn.Module):
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, st: SparseTensor, training=False) -> SparseTensor:
+    def __call__(self, st: SparseTensor, training=False,
+                 plan=None) -> SparseTensor:
         ks = self.kernel_size
         K = ks ** 3 if isinstance(ks, int) else int(np.prod(ks))
         cin = st.features.shape[-1]
@@ -104,7 +107,7 @@ class SparseConv(nn.Module):
         feats, coords, valid = sp.sparse_conv3d(
             st.features, st.coords, st.valid, w, st.grid, out_grid,
             kernel_size=ks, stride=self.stride, padding=self.padding,
-            out_capacity=cap,
+            out_capacity=cap, plan=plan,
         )
         if self.use_norm:
             feats = nn.BatchNorm(
@@ -133,7 +136,7 @@ class SparseInverseConv(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor, fine: SparseTensor,
-                 training=False) -> SparseTensor:
+                 training=False, rulebook=None) -> SparseTensor:
         ks = self.kernel_size
         K = ks ** 3 if isinstance(ks, int) else int(np.prod(ks))
         cin = st.features.shape[-1]
@@ -141,6 +144,7 @@ class SparseInverseConv(nn.Module):
         feats = sp.inverse_conv3d(
             st.features, st.coords, st.valid, w, fine.coords, fine.valid,
             st.grid, kernel_size=ks, stride=self.stride, padding=self.padding,
+            rulebook=rulebook,
         )
         if self.use_norm:
             feats = nn.BatchNorm(

@@ -40,7 +40,37 @@ from .spconv_backbone import (
     SparseInverseConv,
     SparseTensor,
     SubMConv,
+    _out_grid,
 )
+
+
+def build_unet_plan(sp: SparseTensor, capacity: int):
+    """Weight-independent pieces of the 3-level mini U-Net on `sp`'s
+    position set: subm rulebooks at each level, strided-conv plans
+    (out coords + rulebook) and inverse rulebooks. The base position set
+    is FIXED after SA layer 0 (every later layer `_replace`s features
+    only), so teacher layers 1..2 and the student layer share ONE plan
+    per forward instead of re-probing ~8 rulebooks each (the probes were
+    ~2.5 ms apiece of the round-1 TSM forward profile)."""
+    rb4 = sp_ops.build_subm_rulebook(sp.coords, sp.valid, sp.grid)
+    g8 = _out_grid(sp.grid, 3, 2, 1)
+    ds8 = sp_ops.build_conv_plan(
+        sp.coords, sp.valid, sp.grid, g8, 3, 2, 1, capacity
+    )
+    oc8, ov8, _ = ds8
+    rb8 = sp_ops.build_subm_rulebook(oc8, ov8, g8)
+    g16 = _out_grid(g8, 3, 2, 1)
+    ds16 = sp_ops.build_conv_plan(oc8, ov8, g8, g16, 3, 2, 1, capacity)
+    oc16, ov16, _ = ds16
+    rb16 = sp_ops.build_subm_rulebook(oc16, ov16, g16)
+    inv16to8 = sp_ops.build_inverse_rulebook(
+        oc16, ov16, oc8, ov8, g16, 3, 2, 1
+    )
+    inv8to4 = sp_ops.build_inverse_rulebook(
+        oc8, ov8, sp.coords, sp.valid, g8, 3, 2, 1
+    )
+    return dict(rb4=rb4, ds8=ds8, rb8=rb8, ds16=ds16, rb16=rb16,
+                inv16to8=inv16to8, inv8to4=inv8to4)
 
 
 def factored_grid(point_cloud_range, voxel_size):
@@ -147,7 +177,7 @@ class VoxelSAModule(nn.Module):
     @nn.compact
     def __call__(self, xyz, features, valid, scores_voxel=None,
                  point_slot=None, sp=None, centroid_xyz=None, new_xyz=None,
-                 training=False):
+                 training=False, unet_plan=None):
         B = xyz.shape[0]
 
         # ---- per-point scores from per-voxel confidence (prev layer) ----
@@ -360,32 +390,34 @@ class VoxelSAModule(nn.Module):
             n_out = new_features.shape[-1]
             n_en = n_out // 2
             cap = self.voxel_capacity
+            if unet_plan is not None and unet_plan["ds8"][0].shape[1] != cap:
+                unet_plan = None  # capacity mismatch: plan not reusable
+            if unet_plan is None:
+                unet_plan = build_unet_plan(sp, cap)
             sp4x = SubMConv(n_en, kernel_size=1, name="spconv4x")(src_st, training)
             sp8x = SparseConv(
                 n_en, out_capacity=cap, name="spconv8x"
-            )(sp4x, training)
+            )(sp4x, training, plan=unet_plan["ds8"])
             sp16x = SparseConv(
                 n_en * 2, out_capacity=cap, name="spconv16x"
-            )(sp8x, training)
-            rb16 = sp_ops.build_subm_rulebook(
-                sp16x.coords, sp16x.valid, sp16x.grid
-            )
+            )(sp8x, training, plan=unet_plan["ds16"])
+            rb16 = unet_plan["rb16"]
             h16 = SubMConv(n_en * 2, name="inv16x_a")(sp16x, training,
                                                       rulebook=rb16)
             h16 = SubMConv(n_en * 2, name="inv16x_b")(h16, training,
                                                       rulebook=rb16)
             h16 = h16._replace(features=h16.features + sp16x.features)
-            h8 = SparseInverseConv(n_en, name="inv8x")(h16, sp8x, training)
-            rb8 = sp_ops.build_subm_rulebook(
-                sp8x.coords, sp8x.valid, sp8x.grid
+            h8 = SparseInverseConv(n_en, name="inv8x")(
+                h16, sp8x, training, rulebook=unet_plan["inv16to8"]
             )
+            rb8 = unet_plan["rb8"]
             h8 = SubMConv(n_en, name="inv8x_a")(h8, training, rulebook=rb8)
             h8 = SubMConv(n_en, name="inv8x_b")(h8, training, rulebook=rb8)
             h8 = h8._replace(features=h8.features + sp8x.features)
-            h4 = SparseInverseConv(n_en, name="inv4x")(h8, sp4x, training)
-            rb4 = sp_ops.build_subm_rulebook(
-                sp.coords, sp.valid, sp.grid
+            h4 = SparseInverseConv(n_en, name="inv4x")(
+                h8, sp4x, training, rulebook=unet_plan["inv8to4"]
             )
+            rb4 = unet_plan["rb4"]
             h4 = SubMConv(n_en, name="inv4x_a")(h4, training, rulebook=rb4)
             h4 = SubMConv(n_en, name="inv4x_b")(h4, training, rulebook=rb4)
             h4 = h4._replace(features=h4.features + sp4x.features)
@@ -469,7 +501,8 @@ class _VoxelFSBase(nn.Module):
     input_channels: int
     meta: object
 
-    def _run_layers(self, cfg_key, batch_dict, training, n_layers=None):
+    def _run_layers(self, cfg_key, batch_dict, training, n_layers=None,
+                    unet_plan=None):
         cfg = self.model_cfg[cfg_key]
         voxel_cfg = self.model_cfg["VOXEL_CONFIG"]
         base_vs = np.asarray(voxel_cfg["VOXEL_SIZE"], np.float64)
@@ -501,11 +534,14 @@ class _VoxelFSBase(nn.Module):
                     cfg["MLPS"][k][-1][-1]
                 )
                 kw["sp_channels"] = (sp_ch_in, out_ch)
+            if 0 < k < 3 and unet_plan is None and state["sp"] is not None:
+                unet_plan = build_unet_plan(state["sp"], capacity)
             r = VoxelSAModule(**kw, name=f"{prefix}{k}")(
                 state["xyz"], state["features"], state["valid"],
                 scores_voxel=state["scores_voxel"],
                 point_slot=state["point_slot"], sp=state["sp"],
                 centroid_xyz=state["centroid_xyz"], training=training,
+                unet_plan=unet_plan if 0 < k < 3 else None,
             )
             state = dict(
                 xyz=r["new_xyz"], features=r["new_features"],
@@ -518,7 +554,7 @@ class _VoxelFSBase(nn.Module):
                 cfg["MLPS"][0][-1][-1]
             )
             outs.append(r)
-        return outs
+        return outs, unet_plan
 
 
 class VoxelPointNet2FSMSG(_VoxelFSBase):
@@ -531,7 +567,7 @@ class VoxelPointNet2FSMSG(_VoxelFSBase):
 
     @nn.compact
     def __call__(self, batch_dict, training=False):
-        outs = self._run_layers("SA_CONFIG", batch_dict, training)
+        outs, _ = self._run_layers("SA_CONFIG", batch_dict, training)
         last = outs[-1]
         batch_dict["point_features"] = last["new_features"]
         batch_dict["point_coords"] = last["new_xyz"]
@@ -564,7 +600,7 @@ class VoxelPointNet2FSMSGDistillation(_VoxelFSBase):
         n_teacher = None if training else len(
             self.model_cfg["SA_CONFIG"]["NPOINT_LIST"]
         ) - 1
-        t_outs = self._run_layers(
+        t_outs, unet_plan = self._run_layers(
             "SA_CONFIG", batch_dict, training, n_layers=n_teacher
         )
         # stop_gradient on array leaves only — SparseTensor.grid/stride are
@@ -592,10 +628,16 @@ class VoxelPointNet2FSMSGDistillation(_VoxelFSBase):
             self.model_cfg["SA_CONFIG"]["AGGREGATION_MLPS"][0][-1]
         )
         kw["sp_channels"] = (sp_in, int(agg[1][-1]))
+        # the student U-Net runs on the same layer-0 position set as the
+        # teacher's — reuse the teacher's plan (build one if the teacher
+        # ran only layer 0, i.e. eval)
+        if unet_plan is None:
+            unet_plan = build_unet_plan(t0["sp"], capacity)
         s_out = VoxelSAModule(**kw, name="s_sa1")(
             t0["new_xyz"], t0["new_features"], t0["new_valid"],
             scores_voxel=t0["scores_voxel"], point_slot=t0["point_slot"],
             sp=t0["sp"], centroid_xyz=t0["centroid_xyz"], training=training,
+            unet_plan=unet_plan,
         )
 
         if training:

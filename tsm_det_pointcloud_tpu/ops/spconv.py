@@ -294,12 +294,13 @@ def _downsample_out_coords(coords, valid, grid, out_grid, kernel_size, stride,
     return out_coords, out_valid
 
 
-def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
-                  kernel_size, stride, padding, out_capacity, table=None):
-    """Strided (downsampling) sparse conv.
-    Returns (out_features (B, Vo, Cout), out_coords (B, Vo, 3),
-    out_valid (B, Vo)) with out coords in out_grid units, sorted."""
-    K = weight.shape[0]
+def build_conv_plan(coords, valid, grid, out_grid, kernel_size, stride,
+                    padding, out_capacity, table=None):
+    """Everything weight-independent about a strided conv on a position
+    set: (out_coords (B, Vo, 3), out_valid (B, Vo), rulebook (idx, found)).
+    The TSM mini U-Nets run on the SAME base position set in every SA
+    layer (teacher layers 1..2 + the student layer all `_replace` features
+    on layer-0's coords), so one plan serves all of them per forward."""
     offs = jnp.asarray(kernel_offsets(kernel_size))  # (K, 3) zyx
     ks = np.asarray(
         (kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size
@@ -331,19 +332,33 @@ def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
     qk = linearize(qc, grid, ov[:, None, :])               # (B, K, Vo)
     idx, found = _lookup_batched(in_keys, qk, sentinel, table)
     found = found & ov[:, None, :]
+    return oc, ov, (idx, found)
+
+
+def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
+                  kernel_size, stride, padding, out_capacity, table=None,
+                  plan=None):
+    """Strided (downsampling) sparse conv.
+    `plan` optional precomputed build_conv_plan output (shared across convs
+    on the same position set). Returns (out_features (B, Vo, Cout),
+    out_coords (B, Vo, 3), out_valid (B, Vo)) with out coords in out_grid
+    units, sorted."""
+    if plan is None:
+        plan = build_conv_plan(
+            coords, valid, grid, out_grid, kernel_size, stride, padding,
+            out_capacity, table,
+        )
+    oc, ov, (idx, found) = plan
     return _gather_conv(features, idx, found, weight, ov), oc, ov
 
 
-def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
-                   fine_coords, fine_valid, coarse_grid, kernel_size, stride,
-                   padding, table=None):
-    """Sparse inverse (transposed) conv: scatter coarse features back onto a
-    known fine position set (the paired encoder layer's positions — spconv's
-    indice_key mechanism becomes an explicit argument).
-    weight (K, Cin, Cout); returns (B, Vf, Cout) on fine positions, sorted.
-    Fine position o receives coarse c with tap = o - (c*s - p) when
+def build_inverse_rulebook(coarse_coords, coarse_valid, fine_coords,
+                           fine_valid, coarse_grid, kernel_size, stride,
+                           padding, table=None):
+    """Weight-independent rulebook (idx, found) for inverse_conv3d —
+    shareable across inverse convs with the same coarse/fine position
+    pair. Fine position o receives coarse c with tap = o - (c*s - p) when
     0 <= tap < k  <=>  c in the candidate window of o."""
-    K = weight.shape[0]
     ks = np.asarray(
         (kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size
     )
@@ -368,7 +383,23 @@ def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
     exact = jnp.all(c_cand * st_j == num, axis=-1)         # (B, K, Vf)
     qk = linearize(c_cand, coarse_grid, fine_valid[:, None, :] & exact)
     idx, found = _lookup_batched(ckeys, qk, sentinel, table)
-    found = found & fine_valid[:, None, :] & exact
+    return idx, found & fine_valid[:, None, :] & exact
+
+
+def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
+                   fine_coords, fine_valid, coarse_grid, kernel_size, stride,
+                   padding, table=None, rulebook=None):
+    """Sparse inverse (transposed) conv: scatter coarse features back onto a
+    known fine position set (the paired encoder layer's positions — spconv's
+    indice_key mechanism becomes an explicit argument).
+    weight (K, Cin, Cout); `rulebook` optional build_inverse_rulebook
+    output. Returns (B, Vf, Cout) on fine positions, sorted."""
+    if rulebook is None:
+        rulebook = build_inverse_rulebook(
+            coarse_coords, coarse_valid, fine_coords, fine_valid,
+            coarse_grid, kernel_size, stride, padding, table,
+        )
+    idx, found = rulebook
     return _gather_conv(coarse_features, idx, found, weight, fine_valid)
 
 
