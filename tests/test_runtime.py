@@ -183,3 +183,35 @@ def test_bn_stats_are_global_under_mesh():
         np.asarray(m8["batch_stats"]["BatchNorm_0"]["mean"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_transfer_statistics_across_nestings():
+    """Teacher heads own the statistic buffers inside a 'head' submodule;
+    the distillation head declares them at its own scope. The transfer
+    must match by leaf name + shape, not structure — a structural copy
+    silently leaves the student's buffers at zero (dead conditioning)."""
+    import numpy as np
+    from tsm_det_pointcloud_tpu.runtime.checkpoint import transfer_statistics
+
+    teacher = {"point_head": {"head": {
+        "object_statistic_features": np.full((3, 8), 2.0),
+        "object_momentum": np.full((3, 8), 3.0),
+        "object_mean": np.full((3, 8), 4.0),
+    }}}
+    student = {"point_head": {
+        "object_statistic_features": np.zeros((3, 8)),
+        "object_momentum": np.zeros((3, 8)),
+        "object_mean": np.zeros((3, 8)),
+    }}
+    out = transfer_statistics(student, teacher)
+    np.testing.assert_array_equal(
+        out["point_head"]["object_statistic_features"], 2.0 * np.ones((3, 8)))
+    np.testing.assert_array_equal(
+        out["point_head"]["object_momentum"], 3.0 * np.ones((3, 8)))
+    np.testing.assert_array_equal(
+        out["point_head"]["object_mean"], 4.0 * np.ones((3, 8)))
+
+    # shape mismatch -> keep destination
+    teacher_bad = {"a": {"object_mean": np.ones((5, 5))}}
+    out2 = transfer_statistics({"object_mean": np.zeros((3, 8))}, teacher_bad)
+    np.testing.assert_array_equal(out2["object_mean"], np.zeros((3, 8)))

@@ -230,6 +230,19 @@ def test_two_phase_teacher_then_distill(tmp_path, monkeypatch):
                if any(seg.startswith(("s_", "S_")) for seg in k)]
     assert student, "no student (s_*) parameters in the distill model"
 
+    # the statistic buffers must ARRIVE in the distill state despite the
+    # different nesting (teacher: .../head/object_*; distill: .../object_*)
+    # — a structural copy silently leaves them at re-init zeros
+    t_stats = {k[-1]: v for k, v in _flat(t_state["statistics"]).items()}
+    d_stats = {k[-1]: v for k, v in _flat(d_state["statistics"]).items()}
+    for name in ("object_statistic_features", "object_momentum",
+                 "object_mean"):
+        assert name in t_stats and name in d_stats, name
+        np.testing.assert_array_equal(
+            t_stats[name], d_stats[name],
+            err_msg=f"statistics buffer {name} not transferred",
+        )
+
     import shutil
     for stem in (teacher_cfg.stem, distill_cfg.stem):
         for p in out_base.rglob(stem):

@@ -35,6 +35,13 @@ def parse_config():
     )
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument(
+        "--launcher", choices=["none", "jax", "slurm"], default="none",
+        help="'jax'/'slurm': call jax.distributed.initialize() before "
+             "anything touches the backend (multi-host pods; coordinator "
+             "and process ids come from the environment / SLURM). "
+             "Replaces the reference's torch.distributed launchers.",
+    )
+    parser.add_argument(
         "--num_epochs_to_eval", type=int, default=0,
         help="evaluate the last N checkpoints on the val split after "
              "training (reference tools/train.py:192-209 defaults to 10; "
@@ -65,6 +72,11 @@ def main():
 
     import jax
 
+    if args.launcher != "none":
+        # must run before the first backend touch; failures are real
+        # configuration errors and must propagate, not be swallowed
+        jax.distributed.initialize()
+
     from tsm_det_pointcloud_tpu.config import log_config_to_file
     from tsm_det_pointcloud_tpu.datasets import build_dataloader
     from tsm_det_pointcloud_tpu.models import build_network
@@ -73,6 +85,7 @@ def main():
     )
     from tsm_det_pointcloud_tpu.runtime.checkpoint import (
         latest_checkpoint, partial_load, restore_checkpoint,
+        transfer_statistics,
     )
     from tsm_det_pointcloud_tpu.runtime.metrics import MetricsWriter
     from tsm_det_pointcloud_tpu.runtime.optimization import build_optimizer
@@ -134,8 +147,13 @@ def main():
     if args.pretrained_model:
         loaded = restore_checkpoint(args.pretrained_model)
         params = partial_load(params, loaded.get("params", loaded), logger)
-        if "statistics" in loaded:
-            statistics = loaded["statistics"]
+        if "statistics" in loaded and statistics:
+            # teacher/student statistics trees nest differently — merge by
+            # buffer name, never structurally (zeros would silently kill
+            # the multiplicative statistic conditioning)
+            statistics = transfer_statistics(
+                statistics, loaded["statistics"], logger
+            )
         logger.info("Loaded pretrained model from %s", args.pretrained_model)
 
     start_epoch = 0

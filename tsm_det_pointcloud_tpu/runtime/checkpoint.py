@@ -92,6 +92,40 @@ def restore_checkpoint(path, target=None):
     )
 
 
+def transfer_statistics(dst, src, logger=None):
+    """Transfer the class-statistic buffers from a teacher checkpoint into
+    a (differently-nested) student tree by LEAF NAME + shape.
+
+    The teacher head owns its buffers inside its VoteHeadBranch submodule
+    (statistics = {...: {'head': {object_*}}}) while the distillation head
+    declares one shared set at its own scope ({...: {object_*}}), so a
+    structural replacement either fails or — worse — parks the teacher's
+    buffers at a dead path and lets the student's re-init to ZEROS, which
+    silently turns the multiplicative statistic conditioning
+    (`shared * statistic[i]`, point_head_vote.py) into a constant-zero
+    classifier. Buffer leaf names (object_statistic_features /
+    object_momentum / object_mean) are unique, so basename matching is
+    exact. Parity: the reference moves these buffers through the state
+    dict by full name (...distillation.py:85-87 + train.py:138-139)."""
+    flat_src = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(src)[0]:
+        name = getattr(path[-1], "key", str(path[-1]))
+        flat_src.setdefault(str(name), leaf)
+    dst_flat = jax.tree_util.tree_flatten_with_path(dst)
+    merged, moved = [], []
+    for path, leaf in dst_flat[0]:
+        name = str(getattr(path[-1], "key", str(path[-1])))
+        sv = flat_src.get(name)
+        if sv is not None and np.shape(sv) == np.shape(leaf):
+            merged.append(jax.numpy.asarray(sv))
+            moved.append(name)
+        else:
+            merged.append(leaf)
+    if logger:
+        logger.info("transfer_statistics: moved %s", moved)
+    return jax.tree_util.tree_unflatten(dst_flat[1], merged)
+
+
 def partial_load(params, loaded, logger=None):
     """strict=False merge: copy leaves whose path+shape match
     (parity: detector3d_template.py:588-594)."""
