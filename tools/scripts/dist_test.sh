@@ -1,16 +1,7 @@
 #!/usr/bin/env bash
 # Multi-host evaluation (parity: tools/scripts/dist_test.sh): every host
-# evaluates its shard; results merge via parallel/comm.merge_results_dist.
+# evaluates its loader shard; results merge via
+# parallel/comm.merge_results_dist inside test.py.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-python - "$@" <<'PY'
-import sys
-import jax
-
-try:
-    jax.distributed.initialize()
-except Exception as e:
-    print(f"jax.distributed.initialize skipped: {e}")
-sys.argv = ["test.py"] + sys.argv[1:]
-exec(open("test.py").read())
-PY
+exec python test.py --launcher jax "$@"

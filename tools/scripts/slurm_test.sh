@@ -7,16 +7,4 @@
 #   usage: sbatch -N <hosts> --ntasks-per-node=1 slurm_test.sh --cfg_file ...
 set -euo pipefail
 cd "$(dirname "$0")/.."
-srun --kill-on-bad-exit=1 bash -c '
-python - "$@" <<PY
-import sys
-import jax
-
-try:
-    jax.distributed.initialize()
-except Exception as e:  # single-host fallback
-    print(f"jax.distributed.initialize skipped: {e}")
-sys.argv = ["test.py"] + sys.argv[1:]
-exec(open("test.py").read())
-PY
-' _ "$@"
+srun --kill-on-bad-exit=1 python test.py --launcher slurm "$@"

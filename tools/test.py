@@ -33,6 +33,11 @@ def parse_config():
     parser.add_argument("--save_to_file", action="store_true")
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument(
+        "--launcher", choices=["none", "jax", "slurm"], default="none",
+        help="'jax'/'slurm': call jax.distributed.initialize() before "
+             "anything touches the backend (multi-host pods).",
+    )
+    parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
@@ -54,6 +59,9 @@ def main():
     args, cfg = parse_config()
 
     import jax
+
+    if args.launcher != "none":
+        jax.distributed.initialize()
 
     from tsm_det_pointcloud_tpu.datasets import build_dataloader
     from tsm_det_pointcloud_tpu.models import build_network
