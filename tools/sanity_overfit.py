@@ -1,20 +1,29 @@
-"""On-device sanity fit: overfit the TSM teacher on synthetic scenes.
+"""On-device sanity fit: overfit the TSM pipeline on synthetic scenes.
 
-Trains the full teacher model (PointHeadVoteSASAStatistic — vote + cls +
-box + SASA losses, statistics momentum updates) on a handful of synthetic
-scenes with known car boxes, then checks that (a) the loss drops by a
-large factor and (b) post-processed detections land on the ground truth.
+Phase 1 trains the full teacher model (PointHeadVoteSASAStatistic — vote +
+cls + box + SASA losses, statistics momentum updates) on a handful of
+synthetic scenes with known car boxes; phase 2 (--phase2) transfers the
+teacher into the distillation model (frozen teacher branch + trainable
+student, the fast_cpc recipe) and trains the student. Checks per phase:
+(a) the loss drops by a large factor, (b) post-processed detections land
+on the ground truth, and (c) with --val, held-out synthetic scenes score a
+nonzero Car AP through the FULL official KITTI protocol
+(eval/kitti_eval.py) — the closest available proxy for the reference's
+res_kitti.txt eval until real data exists.
+
 This exercises the entire learning loop (target assignment, losses,
-optimizer, BN/statistics state) at real scale on the real chip — a much
-stronger signal than finiteness checks.
+optimizer, BN/statistics state, teacher->student transfer, official
+metrics) — a much stronger signal than finiteness checks.
 
-Usage: python tools/sanity_overfit.py [--steps 300]
-Prints one JSON line with loss trajectory + detection hits.
+Usage: python tools/sanity_overfit.py [--steps 300] [--scale small|full]
+       [--phase2] [--val] [--out artifact.json]
+Prints one JSON line per phase + writes the combined artifact to --out.
 """
 import argparse
 import json
 import pathlib
 import sys
+import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
@@ -47,70 +56,114 @@ def make_scene(rng, n_points, boxes):
     return pts
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--batch", type=int, default=4)
-    args = ap.parse_args()
+def sample_boxes(rng, k=5):
+    boxes = []
+    for _ in range(k):
+        boxes.append([rng.uniform(8, 60), rng.uniform(-30, 30),
+                      rng.uniform(-1.2, -0.8), 3.9, 1.6, 1.56,
+                      rng.uniform(-np.pi, np.pi)])
+    return np.asarray(boxes, np.float32)
 
+
+def make_batch(rng, batch, n_points, jnp):
+    gt = np.zeros((batch, 12, 8), np.float32)
+    gtm = np.zeros((batch, 12), bool)
+    pts = np.zeros((batch, n_points, 4), np.float32)
+    for b in range(batch):
+        boxes = sample_boxes(rng)
+        pts[b] = make_scene(rng, n_points, boxes)
+        gt[b, :5, :7] = boxes
+        gt[b, :5, 7] = 1  # Car
+        gtm[b, :5] = True
+    return {
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.ones((batch, n_points), bool),
+        "batch_size": batch,
+        "gt_boxes": jnp.asarray(gt), "gt_boxes_mask": jnp.asarray(gtm),
+    }, gt
+
+
+def lidar_boxes_to_cam(boxes):
+    """(N, 7) lidar x,y,z(center),dx,dy,dz,ry -> camera-frame
+    x,y(bottom),z,l,h,w,ry under the standard KITTI extrinsic
+    (cam x=-y_l, y=-z_l, z=x_l; ry_cam = -ry_l - pi/2). gt and dt go
+    through the SAME rigid map, so official AP is exact."""
+    b = np.asarray(boxes, np.float64).reshape(-1, 7)
+    out = np.zeros_like(b)
+    out[:, 0] = -b[:, 1]
+    out[:, 1] = -(b[:, 2] - b[:, 5] / 2.0)  # cam y points down; bottom face
+    out[:, 2] = b[:, 0]
+    out[:, 3] = b[:, 3]  # l
+    out[:, 4] = b[:, 5]  # h
+    out[:, 5] = b[:, 4]  # w
+    ry = -b[:, 6] - np.pi / 2
+    out[:, 6] = (ry + np.pi) % (2 * np.pi) - np.pi
+    return out
+
+
+def cam_anno(boxes_cam, names, scores=None):
+    n = len(boxes_cam)
+    anno = {
+        "name": np.asarray(names),
+        "truncated": np.zeros(n),
+        "occluded": np.zeros(n, np.int64),
+        "alpha": np.full(n, -10.0) if scores is not None else np.zeros(n),
+        "bbox": np.tile(np.array([100.0, 100.0, 200.0, 150.0]), (n, 1))
+        if n else np.zeros((0, 4)),
+        "dimensions": boxes_cam[:, 3:6].reshape(-1, 3),
+        "location": boxes_cam[:, 0:3].reshape(-1, 3),
+        "rotation_y": boxes_cam[:, 6].reshape(-1),
+    }
+    if scores is not None:
+        anno["score"] = np.asarray(scores, np.float64)
+    return anno
+
+
+def shrink_cfg(cfg, n_points):
+    """Small-scale overrides for CPU debugging (same topology, fewer
+    samples)."""
+    sa = cfg.MODEL.BACKBONE_3D.SA_CONFIG
+    sa.NPOINT_LIST = [[1024], [256]]
+    sa.SAMPLE_RANGE_LIST = [[[0, n_points]], [[0, 1024]]]
+    if "S_SA_CONFIG" in cfg.MODEL.BACKBONE_3D:
+        ssa = cfg.MODEL.BACKBONE_3D.S_SA_CONFIG
+        ssa.NPOINT_LIST = [[1024], [256]]
+        ssa.SAMPLE_RANGE_LIST = [[[0, n_points]], [[0, 1024]]]
+    cfg.MODEL.POINT_HEAD.SAMPLE_RANGE = [0, 256]
+    return cfg
+
+
+def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
+              init_params=None, init_statistics=None, tag="teacher"):
     import jax
     import jax.numpy as jnp
     import optax
 
-    from tsm_det_pointcloud_tpu.config import cfg_from_yaml_file
     from tsm_det_pointcloud_tpu.models import build_network
-    from tsm_det_pointcloud_tpu.models.detectors.detector3d_template import (
-        DatasetMeta,
-    )
     from tsm_det_pointcloud_tpu.ops.iou3d import boxes_iou3d
-    from tsm_det_pointcloud_tpu.utils.edict import EDict
+    from tsm_det_pointcloud_tpu.runtime.checkpoint import (
+        partial_load,
+        transfer_statistics,
+    )
+    from tsm_det_pointcloud_tpu.runtime.optimization import build_optimizer
+    from tsm_det_pointcloud_tpu.parallel.train_state import wrap_student_only
 
-    root = pathlib.Path(__file__).resolve().parent.parent
-    cfg = cfg_from_yaml_file(
-        str(root / "tools/cfgs/kitti_models/fast_cpc_teacher.yaml"),
-        EDict({"ROOT_DIR": root, "LOCAL_RANK": 0}),
-    )
-    B, N = args.batch, 16384
-    meta = DatasetMeta(
-        class_names=tuple(cfg.CLASS_NAMES),
-        point_cloud_range=(0, -40, -3, 70.4, 40, 1),
-        voxel_size=(0.05, 0.05, 0.1), grid_size=(1408, 1600, 40),
-        max_voxels=16000, max_points_per_voxel=5,
-        num_point_features=4, max_points=N,
-    )
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           dataset=meta)
-
-    rng = np.random.default_rng(0)
-    gt = np.zeros((B, 12, 8), np.float32)
-    gtm = np.zeros((B, 12), bool)
-    pts = np.zeros((B, N, 4), np.float32)
-    for b in range(B):
-        boxes = []
-        for k in range(5):
-            boxes.append([rng.uniform(8, 60), rng.uniform(-30, 30),
-                          rng.uniform(-1.2, -0.8), 3.9, 1.6, 1.56,
-                          rng.uniform(-np.pi, np.pi)])
-        boxes = np.asarray(boxes, np.float32)
-        pts[b] = make_scene(rng, N, boxes)
-        gt[b, :5, :7] = boxes
-        gt[b, :5, 7] = 1  # Car
-        gtm[b, :5] = True
-
-    pts_j = jnp.asarray(pts)
-    mask = jnp.ones((B, N), bool)
-    tb = {"points": pts_j, "points_mask": mask, "batch_size": B,
-          "gt_boxes": jnp.asarray(gt), "gt_boxes_mask": jnp.asarray(gtm),
-          "accumulated_iter": jnp.zeros((), jnp.int32)}
     variables = jax.jit(lambda r, b: model.init(r, b, training=True))(
-        jax.random.PRNGKey(1), dict(tb))
+        jax.random.PRNGKey(1), dict(train_batch))
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
-    # the real optimization stack (adam_onecycle + clip), exactly as
-    # tools/train.py builds it — the statistic conditioning is only
-    # stable under the reference's warmup profile
-    from tsm_det_pointcloud_tpu.runtime.optimization import build_optimizer
+    distill = tag == "student"
+    if init_params is not None:
+        params = partial_load(params, init_params)
+    if init_statistics is not None and "statistics" in rest:
+        rest["statistics"] = transfer_statistics(
+            rest["statistics"], init_statistics
+        )
     tx, _ = build_optimizer(dict(cfg.OPTIMIZATION), total_steps=args.steps)
+    if distill:
+        tx = wrap_student_only(tx, params)
     opt_state = jax.jit(tx.init)(params)
 
     def loss_fn(p, rest, batch, it):
@@ -127,46 +180,43 @@ def main():
     import functools
 
     tb_shapes = jax.eval_shape(
-        lambda p, r: loss_fn(p, r, tb, jnp.int32(0))[1][1], params, rest)
+        lambda p, r: loss_fn(p, r, train_batch, jnp.int32(0))[1][1],
+        params, rest)
     tb_keys = tuple(sorted(tb_shapes.keys()))
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run_chunk(p, os, rest, it0, n):
+    def run_chunk(p, os_, rest, it0, n):
         def step(i, carry):
-            p, os, rest, acc, tbacc = carry
+            p, os_, rest, acc, tbacc = carry
             (l, (upd, tbd)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, rest, tb, it0 + i)
-            u, os = tx.update(g, os, p)
+                p, rest, train_batch, it0 + i)
+            u, os_ = tx.update(g, os_, p)
             p = optax.apply_updates(p, u)
             rest = {**rest, **{k: upd[k] for k in upd}}
             tbacc = {k: tbacc[k].at[i].set(
                 jnp.asarray(tbd[k], jnp.float32).reshape(())) for k in
                 tb_keys}
-            return p, os, rest, acc.at[i].set(l), tbacc
+            return p, os_, rest, acc.at[i].set(l), tbacc
         acc = jnp.zeros((n,), jnp.float32)
         tbacc = {k: jnp.zeros((n,), jnp.float32) for k in tb_keys}
-        return jax.lax.fori_loop(0, n, step, (p, os, rest, acc, tbacc))
+        return jax.lax.fori_loop(0, n, step, (p, os_, rest, acc, tbacc))
 
-    chunk = 50
+    chunk = min(50, args.steps)
     losses = []
     it = 0
-    for _ in range(args.steps // chunk):
+    t0 = time.time()
+    while it < args.steps:
         params, opt_state, rest, ls, tbl = run_chunk(
             params, opt_state, rest, jnp.int32(it), chunk)
         ls = np.asarray(ls)
         losses.extend(ls.tolist())
         it += chunk
-        stat_norm = float(sum(
-            float(jnp.abs(x).sum()) for x in jax.tree.leaves(
-                rest.get("statistics", {}))
-        ))
         comps = " ".join(
             f"{k}={float(np.asarray(v)[-1]):.2f}" for k, v in
-            sorted(tbl.items()))
-        print(f"step {it}: loss {ls[-1]:.3f} |stats|={stat_norm:.1f} "
-              f"{comps}", flush=True)
+            sorted(tbl.items()) if not k.startswith("dbg"))
+        print(f"[{tag}] step {it}: loss {ls[-1]:.3f} {comps}", flush=True)
 
-    # eval: detections vs gt
+    # eval: detections vs train gt
     @jax.jit
     def infer(v, b):
         out = model.apply(v, b, training=False)
@@ -174,12 +224,14 @@ def main():
                               method=lambda m, bd: m.post_processing(bd))
         return pred
 
-    ev = {"points": pts_j, "points_mask": mask, "batch_size": B}
+    B = train_batch["batch_size"]
+    ev = {"points": train_batch["points"],
+          "points_mask": train_batch["points_mask"], "batch_size": B}
     pred = infer({"params": params, **rest}, ev)
     pb = np.asarray(pred["pred_boxes"])
     ps = np.asarray(pred["pred_scores"])
     cnt = np.asarray(pred["count"])
-    print("max score per sample:",
+    print(f"[{tag}] max score per sample:",
           [round(float(s.max()), 3) for s in ps], flush=True)
     hits = 0
     total_gt = 0
@@ -189,18 +241,134 @@ def main():
         if k == 0:
             continue
         iou = np.asarray(boxes_iou3d(jnp.asarray(pb[b, :k]),
-                                     jnp.asarray(gt[b, :5, :7])))
+                                     jnp.asarray(gt_np[b, :5, :7])))
         hits += int((iou.max(axis=0) > 0.5).sum())
     first, last = float(np.mean(losses[:10])), float(np.mean(losses[-10:]))
-    ok = last < first * 0.2 and hits >= total_gt * 0.6
-    print(json.dumps({
-        "metric": "tsm_teacher_overfit",
-        "loss_first10": round(first, 2), "loss_last10": round(last, 2),
+
+    res = {
+        "loss_first10": round(first, 3), "loss_last10": round(last, 3),
         "det_counts": cnt.tolist(),
         "gt_hits@0.5": hits, "gt_total": total_gt,
-        "pass": bool(ok),
-    }))
-    sys.exit(0 if ok else 1)
+        "train_s": round(time.time() - t0, 1),
+    }
+
+    # held-out val AP via the official protocol
+    if val_scenes is not None:
+        from tsm_det_pointcloud_tpu.eval.kitti_eval import (
+            get_official_eval_result,
+        )
+
+        val_batch, val_gt = val_scenes
+        vB = val_batch["batch_size"]
+        gt_annos, dt_annos = [], []
+        for b0 in range(0, vB, B):
+            sl = {k: (v[b0:b0 + B] if hasattr(v, "ndim") else v)
+                  for k, v in val_batch.items()}
+            sl["batch_size"] = B
+            vp = infer({"params": params, **rest}, sl)
+            vpb, vps = np.asarray(vp["pred_boxes"]), np.asarray(vp["pred_scores"])
+            vcnt = np.asarray(vp["count"])
+            for b in range(min(B, vB - b0)):
+                gt_annos.append(cam_anno(
+                    lidar_boxes_to_cam(val_gt[b0 + b, :5, :7]), ["Car"] * 5))
+                k = int(vcnt[b])
+                dt_annos.append(cam_anno(
+                    lidar_boxes_to_cam(vpb[b, :k]) if k else np.zeros((0, 7)),
+                    ["Car"] * k, scores=vps[b, :k]))
+        _, ret = get_official_eval_result(gt_annos, dt_annos, ["Car"])
+        res["val_ap_3d_moderate_R40"] = round(float(ret["Car_3d/moderate_R40"]), 2)
+        res["val_ap_bev_moderate_R40"] = round(float(ret["Car_bev/moderate_R40"]), 2)
+
+    return res, params, rest
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--points", type=int, default=16384)
+    ap.add_argument("--scale", choices=["full", "small"], default="full")
+    ap.add_argument("--phase2", action="store_true",
+                    help="also run the distillation phase (fast_cpc.yaml)")
+    ap.add_argument("--val", action="store_true",
+                    help="score held-out synthetic scenes with official AP")
+    ap.add_argument("--val_scenes", type=int, default=12)
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "overrides the JAX_PLATFORMS env var)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tsm_det_pointcloud_tpu.config import cfg_from_yaml_file
+    from tsm_det_pointcloud_tpu.models.detectors.detector3d_template import (
+        DatasetMeta,
+    )
+    from tsm_det_pointcloud_tpu.utils.edict import EDict
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    B, N = args.batch, args.points
+    meta = DatasetMeta(
+        class_names=("Car", "Pedestrian", "Cyclist"),
+        point_cloud_range=(0, -40, -3, 70.4, 40, 1),
+        voxel_size=(0.05, 0.05, 0.1), grid_size=(1408, 1600, 40),
+        max_voxels=16000, max_points_per_voxel=5,
+        num_point_features=4, max_points=N,
+    )
+
+    rng = np.random.default_rng(0)
+    train_batch, gt_np = make_batch(rng, B, N, jnp)
+    val_scenes = None
+    if args.val:
+        vrng = np.random.default_rng(1234)
+        vb, vgt = make_batch(vrng, args.val_scenes, N, jnp)
+        val_scenes = (vb, vgt)
+
+    def load_cfg(name):
+        cfg = cfg_from_yaml_file(
+            str(root / f"tools/cfgs/kitti_models/{name}"),
+            EDict({"ROOT_DIR": root, "LOCAL_RANK": 0}),
+        )
+        if args.scale == "small":
+            shrink_cfg(cfg, N)
+        return cfg
+
+    artifact = {"metric": "tsm_sanity_overfit", "scale": args.scale,
+                "steps": args.steps, "batch": B, "points": N}
+
+    cfg1 = load_cfg("fast_cpc_teacher.yaml")
+    res1, t_params, t_rest = run_phase(
+        cfg1, meta, args, train_batch, gt_np, val_scenes, tag="teacher")
+    ok1 = (res1["loss_last10"] < res1["loss_first10"] * 0.2
+           and res1["gt_hits@0.5"] >= res1["gt_total"] * 0.6)
+    res1["pass"] = bool(ok1)
+    artifact["teacher"] = res1
+    print(json.dumps({"phase": "teacher", **res1}), flush=True)
+
+    ok2 = True
+    if args.phase2:
+        cfg2 = load_cfg("fast_cpc.yaml")
+        res2, _, _ = run_phase(
+            cfg2, meta, args, train_batch, gt_np, val_scenes,
+            init_params=t_params,
+            init_statistics=t_rest.get("statistics"), tag="student")
+        ok2 = (res2["loss_last10"] < res2["loss_first10"] * 0.5
+               and res2["gt_hits@0.5"] >= res2["gt_total"] * 0.5)
+        res2["pass"] = bool(ok2)
+        artifact["student"] = res2
+        print(json.dumps({"phase": "student", **res2}), flush=True)
+
+    artifact["pass"] = bool(ok1 and ok2)
+    print(json.dumps(artifact), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+    sys.exit(0 if artifact["pass"] else 1)
 
 
 if __name__ == "__main__":
