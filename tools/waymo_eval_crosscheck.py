@@ -10,7 +10,7 @@ VERDICT.md item 8 has a recorded quantitative answer even though the TF
 package cannot be installed here (zero egress).
 
 Usage:  python tools/waymo_eval_crosscheck.py [--frames 60] [--seed 0]
-Writes: output/waymo_crosscheck.json
+Writes: artifacts/waymo_crosscheck.json
 """
 from __future__ import annotations
 
@@ -121,7 +121,7 @@ def main():
         "max_abs_delta_metric": worst,
         "mean_abs_delta": float(np.mean([abs(v) for v in deltas.values()])),
     }
-    out = pathlib.Path(__file__).resolve().parents[1] / "output"
+    out = pathlib.Path(__file__).resolve().parents[1] / "artifacts"
     out.mkdir(exist_ok=True)
     path = out / "waymo_crosscheck.json"
     path.write_text(json.dumps(summary, indent=2))

@@ -67,9 +67,9 @@ def restore_checkpoint(path, target=None):
 
     Auto-detects the format: a `state.pkl` inside the directory is the
     dependency-gated fallback written when orbax is absent; anything else
-    is an orbax PyTree checkpoint. Either format restores under either
-    dependency state (pkl is readable without orbax and vice versa), so
-    checkpoints are portable across environments.
+    is an orbax PyTree checkpoint. A pkl checkpoint restores whether or
+    not orbax is installed; an orbax checkpoint requires orbax (raises
+    RuntimeError otherwise).
     """
     pkl = os.path.join(str(path), "state.pkl")
     if os.path.exists(pkl):
