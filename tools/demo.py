@@ -93,7 +93,10 @@ def main():
     batch0 = demo_dataset.collate(demo_dataset[0])
     batch0 = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
               for k, v in batch0.items()}
-    variables = model.init(jax.random.PRNGKey(0), dict(batch0), training=False)
+    # jit the init: eager init is pathologically slow on remote backends
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, training=False)
+    )(jax.random.PRNGKey(0), dict(batch0))
     if args.ckpt:
         loaded = restore_checkpoint(args.ckpt)
         variables = dict(variables)
