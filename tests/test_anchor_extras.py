@@ -1,5 +1,6 @@
 """ATSS target assigner + AnchorHeadMulti + legacy decoders + softmax focal."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _grid_anchors():
     return anchors
 
 
+@pytest.mark.slow  # module-level forward: full-suite tier
 def test_atss_assigns_on_anchor_gt():
     anchors = _grid_anchors()
     # gt exactly on an anchor center -> candidate iou 1.0, inside, positive
@@ -62,6 +64,7 @@ def test_softmax_focal_basics():
     assert float(l2.min()) > 1.0  # confident wrong -> large
 
 
+@pytest.mark.slow  # module-level forward: full-suite tier
 def test_anchor_head_multi_forward():
     from tests.test_pointpillar_e2e import META, synthetic_batch, tiny_model_cfg
     from tsm_det_pointcloud_tpu.models import build_network
@@ -114,6 +117,7 @@ def _gt_batch(B=2):
     return jnp.asarray(gts), jnp.asarray(mask)
 
 
+@pytest.mark.slow  # module-level forward: full-suite tier
 def test_anchor_head_single_cls():
     from tsm_det_pointcloud_tpu.models.backbones_3d.spconv_backbone import (
         SparseTensor,

@@ -61,6 +61,7 @@ def test_fusion_sampling_methods():
     assert int(idx[:, 16:].min()) >= 64
 
 
+@pytest.mark.slow  # module-level forward: full-suite tier
 def test_sa_fsmsg_with_confidence():
     xyz, feats, valid = cloud(n=128)
     m = PointnetSAModuleFSMSG(
@@ -96,6 +97,7 @@ def test_fp_module_interpolates():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # module-level forward: full-suite tier
 def test_pointnet2msg_backbone():
     xyz, feats, valid = cloud(n=256, c=1)
     cfg = EDict({
@@ -118,6 +120,7 @@ def test_pointnet2msg_backbone():
     assert out["point_coords"].shape == (2, 256, 3)
 
 
+@pytest.mark.slow  # module-level forward: full-suite tier
 def test_pointnet2fsmsg_backbone_pyramid():
     xyz, feats, valid = cloud(n=256, c=1)
     cfg = EDict({
