@@ -156,3 +156,29 @@ def test_pointnet2fsmsg_backbone_pyramid():
         return (o["point_features"] ** 2).mean()
     g = jax.grad(loss_fn)(vars_["params"])
     assert any(float(jnp.abs(x).max()) > 0 for x in jax.tree_util.tree_leaves(g))
+
+
+def test_shared_mlp_bf16_compute_dtype(monkeypatch):
+    """TSM_COMPUTE_DTYPE=bfloat16 switches the SharedMLP activation stream
+    to bf16 (params stay f32) and stays numerically close to the f32 path;
+    default (unset) remains float32."""
+    from tsm_det_pointcloud_tpu.models.backbones_3d.pointnet2_modules import (
+        SharedMLP,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    mlp = SharedMLP([16, 32])
+    monkeypatch.delenv("TSM_COMPUTE_DTYPE", raising=False)
+    variables = mlp.init(jax.random.PRNGKey(0), x)
+    y32 = mlp.apply(variables, x)
+    assert y32.dtype == jnp.float32
+
+    monkeypatch.setenv("TSM_COMPUTE_DTYPE", "bfloat16")
+    y16 = mlp.apply(variables, x)
+    assert y16.dtype == jnp.bfloat16
+    # params untouched (master copies stay f32)
+    assert variables["params"]["fc0"]["kernel"].dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(y32))) + 1e-6
+    err = float(jnp.max(jnp.abs(y32 - y16.astype(jnp.float32)))) / scale
+    assert err < 0.05, f"bf16 path diverged from f32: rel err {err}"

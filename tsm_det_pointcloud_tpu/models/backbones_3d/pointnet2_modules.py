@@ -39,19 +39,32 @@ def safe_bn_mask(mask):
 
 
 class SharedMLP(nn.Module):
-    """Dense + BN + ReLU stack over the trailing channel axis."""
+    """Dense + BN + ReLU stack over the trailing channel axis.
+
+    Honors TSM_COMPUTE_DTYPE=bfloat16 (ops/spconv.compute_dtype): the
+    activation stream between layers rides bf16 — halves HBM traffic on
+    the (B, M, nsample, C) grouped tensors — while params and BN batch
+    statistics stay float32 (flax computes half-precision stats in f32).
+    Downstream head output layers keep f32 params with dtype unset, so
+    logits/regressions promote back to float32 automatically.
+    """
     channels: Sequence[int]
     use_norm: bool = True
 
     @nn.compact
     def __call__(self, x, training=False, mask=None):
+        from ...ops.spconv import compute_dtype
+
+        cd = compute_dtype()
         mask = safe_bn_mask(mask)
         for i, c in enumerate(self.channels):
-            x = nn.Dense(c, use_bias=not self.use_norm, name=f"fc{i}")(x)
+            x = nn.Dense(
+                c, use_bias=not self.use_norm, dtype=cd, name=f"fc{i}"
+            )(x)
             if self.use_norm:
                 x = nn.BatchNorm(
                     use_running_average=not training, momentum=0.99,
-                    epsilon=1e-3, name=f"bn{i}",
+                    epsilon=1e-3, dtype=cd, name=f"bn{i}",
                 )(x, mask=mask)
             x = nn.relu(x)
         return x

@@ -96,13 +96,16 @@ class _MLPNoFinalRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, training=False, mask=None):
+        from ...ops.spconv import compute_dtype
+
+        cd = compute_dtype()  # bf16 activation stream, f32 params/stats
         n = len(self.channels)
         mask = safe_bn_mask(mask)
         for i, c in enumerate(self.channels):
-            x = nn.Dense(c, use_bias=False, name=f"fc{i}")(x)
+            x = nn.Dense(c, use_bias=False, dtype=cd, name=f"fc{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not training, momentum=0.99,
-                epsilon=1e-3, name=f"bn{i}",
+                epsilon=1e-3, dtype=cd, name=f"bn{i}",
             )(x, mask=mask)
             if i < n - 1:
                 x = nn.relu(x)
