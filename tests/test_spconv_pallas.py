@@ -66,3 +66,82 @@ def test_gradients_flow_through_custom_vjp():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(gpw), rtol=1e-4,
                                atol=1e-4)
+
+
+def _sparse_case(seed=0, B=2, V=300, C=16, Co=24, grid=(8, 20, 20)):
+    from tsm_det_pointcloud_tpu.ops import spconv as sp
+
+    rng = np.random.RandomState(seed)
+    sent = int(np.prod(grid))
+    coords = np.full((B, V, 3), -1, np.int32)
+    valid = np.zeros((B, V), bool)
+    gz, gy, gx = grid
+    for b in range(B):
+        n = V - 70 + b * 17
+        cells = rng.choice(sent, n, replace=False)
+        cc = np.stack([cells // (gy * gx), (cells // gx) % gy, cells % gx],
+                      -1).astype(np.int32)
+        key = (cc[:, 0] * gy + cc[:, 1]) * gx + cc[:, 2]
+        coords[b, :n] = cc[np.argsort(key)]
+        valid[b, :n] = True
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(27, C, Co) * 0.1).astype(np.float32))
+    return sp, jnp.asarray(coords), jnp.asarray(valid), feats, w, grid
+
+
+def test_bykey_matches_probe_gather():
+    """Fused by-key gather == probe + XLA reference on a real rulebook."""
+    sp, coords, valid, feats, w, grid = _sparse_case()
+    sent = int(np.prod(grid))
+    keys = sp.linearize(coords, grid, valid)
+    offs = jnp.asarray(sp.kernel_offsets(3))
+    qk = sp.linearize(coords[:, None, :, :] + offs[None, :, None, :],
+                      grid, valid[:, None, :])
+    idx, fnd = sp._lookup_batched(keys, qk, sent)
+    want = gp._xla_reference(feats, jnp.where(fnd, idx, -1), w)
+    got = gp.gather_matmul_bykey(feats, keys, qk, w, sent, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bykey_dispatch_all_conv_flavors(monkeypatch):
+    """With the by-key gate forced on (interpret kernel), subm / strided /
+    inverse convs produce the same outputs as the legacy probe+gather
+    path, and gradients flow through the custom VJP."""
+    sp, coords, valid, feats, w, grid = _sparse_case()
+    legacy_subm = sp.subm_conv3d(feats, coords, valid, w, grid)
+    oc_grid = (4, 10, 10)
+    legacy_str, oc, ov = sp.sparse_conv3d(
+        feats, coords, valid, w, grid, oc_grid, 3, 2, 1, 128
+    )
+    w_inv = jnp.swapaxes(w, 1, 2)  # (K, Co, C): coarse Co -> fine C
+    legacy_inv = sp.inverse_conv3d(
+        legacy_str, oc, ov, w_inv, coords, valid, oc_grid, 3, 2, 1
+    )
+
+    monkeypatch.setattr(sp, "_use_bykey", lambda: True)
+    orig = gp.gather_matmul_bykey
+    monkeypatch.setattr(
+        gp, "gather_matmul_bykey",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    got_subm = sp.subm_conv3d(feats, coords, valid, w, grid)
+    got_str, oc2, ov2 = sp.sparse_conv3d(
+        feats, coords, valid, w, grid, oc_grid, 3, 2, 1, 128
+    )
+    got_inv = sp.inverse_conv3d(got_str, oc2, ov2, w_inv, coords, valid,
+                                oc_grid, 3, 2, 1)
+    np.testing.assert_allclose(np.asarray(got_subm), np.asarray(legacy_subm),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(oc2), np.asarray(oc))
+    np.testing.assert_allclose(np.asarray(got_str), np.asarray(legacy_str),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_inv), np.asarray(legacy_inv),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f, ww):
+        return (sp.subm_conv3d(f, coords, valid, ww, grid) ** 2).sum()
+
+    df, dw = jax.grad(loss, argnums=(0, 1))(feats, w)
+    assert float(jnp.abs(df).max()) > 0 and float(jnp.abs(dw).max()) > 0
+    assert bool(jnp.all(jnp.isfinite(df))) and bool(jnp.all(jnp.isfinite(dw)))

@@ -29,10 +29,21 @@ Reference numerics: BN eps 1e-3 / momentum 0.01 live in the model layer
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class LazyRulebook(NamedTuple):
+    """A rulebook that was never materialized: the fused by-key kernel
+    (spconv_pallas.gather_matmul_bykey) matches target voxel keys against
+    the sorted key list inside the gather itself, so building (idx, found)
+    would be a wasted pass. Carries the probe INPUTS instead. Invalid /
+    out-of-grid queries are already folded in as sentinel keys."""
+    skeys: jax.Array   # (B, V) int32 ascending, sentinel tail
+    qkeys: jax.Array   # (B, K, Q) int32 target keys, sentinel = skip
 
 
 def linearize(coords_zyx, grid, valid=None):
@@ -95,6 +106,59 @@ def _use_pallas_gather():
     if os.environ.get("TSM_NO_PALLAS_SPCONV", ""):
         return False
     return jax.devices()[0].platform == "tpu"
+
+
+def _use_bykey():
+    """Fuse the rulebook probe into the gather (one-hot on keys) on TPU —
+    the probe pass disappears from the forward entirely. Kill switch:
+    TSM_NO_PALLAS_BYKEY=1 (falls back to probe + gather)."""
+    import os
+
+    if os.environ.get("TSM_NO_PALLAS_BYKEY", ""):
+        return False
+    return _use_pallas_gather()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bykey_conv(features, skeys, qkeys, weight, sentinel):
+    from . import spconv_pallas
+
+    return spconv_pallas.gather_matmul_bykey(
+        features, skeys, qkeys, weight, sentinel,
+        bf16=compute_dtype() is not None,
+    )
+
+
+def _bykey_fwd(features, skeys, qkeys, weight, sentinel):
+    return (_bykey_conv(features, skeys, qkeys, weight, sentinel),
+            (features, skeys, qkeys, weight))
+
+
+def _bykey_bwd(sentinel, res, g):
+    # The backward differentiates the XLA gather reference; the probe is
+    # re-run here (training-only cost — eval never materializes idx).
+    features, skeys, qkeys, weight = res
+    from . import spconv_pallas
+
+    idx, found = _lookup_batched(skeys, qkeys, sentinel)
+    idxm = jnp.where(found, idx, -1)
+    _, vjp = jax.vjp(
+        lambda f, w: spconv_pallas._xla_reference(f, idxm, w),
+        features, weight,
+    )
+    df, dw = vjp(g)
+    return df, None, None, dw
+
+
+_bykey_conv.defvjp(_bykey_fwd, _bykey_bwd)
+
+
+def _gather_conv_bykey(features, rulebook, weight, out_valid, grid):
+    out = _bykey_conv(
+        features, rulebook.skeys, rulebook.qkeys, weight,
+        int(np.prod(grid)),
+    )
+    return jnp.where(out_valid[..., None], out, 0.0)
 
 
 def _gather_conv(features, idx, found, weight, out_valid):
@@ -206,6 +270,8 @@ def build_subm_rulebook(coords, valid, grid, kernel_size=3, table=None):
     keys = linearize(coords, grid, valid)                    # (B, V)
     qc = coords[:, None, :, :] + offs[None, :, None, :]      # (B, K, V, 3)
     qk = linearize(qc, grid, valid[:, None, :])
+    if _use_bykey():
+        return LazyRulebook(keys, qk)
     return _lookup_batched(keys, qk, sentinel, table)
 
 
@@ -232,6 +298,8 @@ def subm_conv3d(features, coords, valid, weight, grid, table=None,
     k = round(K ** (1 / 3))
     if rulebook is None:
         rulebook = build_subm_rulebook(coords, valid, grid, k, table)
+    if isinstance(rulebook, LazyRulebook):
+        return _gather_conv_bykey(features, rulebook, weight, valid, grid)
     idx_all, found_all = rulebook
     return _gather_conv(
         features, idx_all, found_all & valid[:, None, :], weight, valid
@@ -330,6 +398,8 @@ def build_conv_plan(coords, valid, grid, out_grid, kernel_size, stride,
     taps = offs - lo[None, :]                              # (K, 3) in [0, k)
     qc = oc[:, None, :, :] * st_j - pd_j + taps[None, :, None, :]
     qk = linearize(qc, grid, ov[:, None, :])               # (B, K, Vo)
+    if _use_bykey():
+        return oc, ov, LazyRulebook(in_keys, qk)
     idx, found = _lookup_batched(in_keys, qk, sentinel, table)
     found = found & ov[:, None, :]
     return oc, ov, (idx, found)
@@ -348,7 +418,10 @@ def sparse_conv3d(features, coords, valid, weight, grid, out_grid,
             coords, valid, grid, out_grid, kernel_size, stride, padding,
             out_capacity, table,
         )
-    oc, ov, (idx, found) = plan
+    oc, ov, rulebook = plan
+    if isinstance(rulebook, LazyRulebook):
+        return _gather_conv_bykey(features, rulebook, weight, ov, grid), oc, ov
+    idx, found = rulebook
     return _gather_conv(features, idx, found, weight, ov), oc, ov
 
 
@@ -382,6 +455,8 @@ def build_inverse_rulebook(coarse_coords, coarse_valid, fine_coords,
     c_cand = num // st_j                                   # (B, K, Vf, 3)
     exact = jnp.all(c_cand * st_j == num, axis=-1)         # (B, K, Vf)
     qk = linearize(c_cand, coarse_grid, fine_valid[:, None, :] & exact)
+    if _use_bykey():
+        return LazyRulebook(ckeys, qk)
     idx, found = _lookup_batched(ckeys, qk, sentinel, table)
     return idx, found & fine_valid[:, None, :] & exact
 
@@ -398,6 +473,10 @@ def inverse_conv3d(coarse_features, coarse_coords, coarse_valid, weight,
         rulebook = build_inverse_rulebook(
             coarse_coords, coarse_valid, fine_coords, fine_valid,
             coarse_grid, kernel_size, stride, padding, table,
+        )
+    if isinstance(rulebook, LazyRulebook):
+        return _gather_conv_bykey(
+            coarse_features, rulebook, weight, fine_valid, coarse_grid
         )
     idx, found = rulebook
     return _gather_conv(coarse_features, idx, found, weight, fine_valid)

@@ -119,6 +119,128 @@ def _gather_matmul_fwd(features, idx, weight, interpret=False, bf16=False,
     return out[:, :Q, :] if q_pad else out
 
 
+_BIG = np.int32(2**31 - 1)
+ANCHOR_STRIDE = 256  # row-rank granularity of the key-window bound
+
+
+def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
+                  out_dtype, dot_dtype, qb, sb, sentinel):
+    """Fused probe+gather: one-hot match on voxel KEYS instead of probed
+    slot indices. The window of source rows that can match a block of
+    target keys is located by counting anchors (skeys[::ANCHOR_STRIDE])
+    <= the block's min/max care key — rows before the last anchor <= min
+    are strictly smaller (keys are strictly ascending on the valid
+    prefix), rows from the first anchor > max are strictly larger."""
+    K = qk_ref.shape[1]
+    c, co = w_ref.shape[-2], w_ref.shape[-1]
+    anch = anch_ref[0, 0:1, :]
+
+    def tap(k, acc):
+        q = qk_ref[0, pl.ds(k, 1), :].reshape(qb, 1)  # target keys
+        care = q < sentinel
+        qlo = jnp.min(jnp.where(care, q, _BIG))
+        qhi = jnp.max(jnp.where(care, q, -1))
+        cnt_lo = jnp.sum((anch <= qlo).astype(jnp.int32))
+        cnt_hi = jnp.sum((anch <= qhi).astype(jnp.int32))
+        s0 = jnp.maximum(cnt_lo - 1, 0) * ANCHOR_STRIDE // sb
+        end = jnp.minimum((cnt_hi * ANCHOR_STRIDE + sb - 1) // sb, nsb)
+
+        def cond(cr):
+            return cr[0] < end
+
+        def body(cr):
+            j, g = cr
+            st = pl.multiple_of(j * sb, sb)
+            kwin = sk_ref[0, 0:1, pl.ds(st, sb)]          # (1, sb)
+            onehot = ((q == kwin) & care).astype(dot_dtype)
+            fwin = f_ref[0, pl.ds(st, sb), :].astype(dot_dtype)
+            return j + 1, g + jnp.dot(
+                onehot, fwin, preferred_element_type=jnp.float32
+            )
+
+        _, g = jax.lax.while_loop(
+            cond, body, (s0, jnp.zeros((qb, c), jnp.float32))
+        )
+        wk = w_ref[pl.ds(k, 1), :, :].reshape(c, co)
+        return acc + jnp.dot(g.astype(dot_dtype), wk.astype(dot_dtype),
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        0, K, tap, jnp.zeros((qb, co), jnp.float32), unroll=False
+    )
+    o_ref[0] = acc.astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sentinel", "interpret", "bf16", "qb",
+                                    "sb"))
+def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
+                        interpret=False, bf16=False, qb=QB, sb=SB):
+    """out[b, q] = sum_k weight[k]^T @ features[b, row(skeys == qkeys[b,k,q])]
+    — the probe (ops/spconv._lookup_batched) and gather fused in one pass.
+
+    features (B, V, C) in key-sorted row order; skeys (B, V) int32 strictly
+    ascending valid prefix with a `sentinel` tail; qkeys (B, K, Q) int32
+    target keys, >= sentinel = contribute zero; weight (K, C, Co). The
+    one-hot compare costs the same MXU work as gather_matmul's index
+    compare, so the separate rulebook probe pass disappears entirely.
+    Same VMEM bf16 heuristic as gather_matmul.
+    """
+    B, V, C = features.shape
+    _, K, Q = qkeys.shape
+    Co = weight.shape[-1]
+    out_dtype = features.dtype
+
+    v_pad = -V % max(sb, ANCHOR_STRIDE)
+    q_pad = -Q % qb
+    if v_pad:
+        features = jnp.pad(features, ((0, 0), (0, v_pad), (0, 0)))
+        skeys = jnp.pad(skeys, ((0, 0), (0, v_pad)), constant_values=_BIG)
+    if q_pad:
+        qkeys = jnp.pad(qkeys, ((0, 0), (0, 0), (0, q_pad)),
+                        constant_values=_BIG)
+    Vp, Qp = V + v_pad, Q + q_pad
+    nsb = Vp // sb
+    if not bf16 and Vp * max(C, 128) * 4 * 2 > 12 * 1024 * 1024:
+        _warn_forced_bf16(Vp, C)
+        bf16 = True
+    dot_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        features = features.astype(jnp.bfloat16)
+
+    anchors = skeys[:, ::ANCHOR_STRIDE]                    # (B, A)
+    a_pad = -anchors.shape[1] % 128
+    if a_pad:
+        anchors = jnp.pad(anchors, ((0, 0), (0, a_pad)),
+                          constant_values=_BIG)
+    anchors = anchors[:, None, :]                          # (B, 1, A)
+    sk2 = skeys[:, None, :]                                # (B, 1, Vp)
+
+    out = pl.pallas_call(
+        functools.partial(_bykey_kernel, nsb=nsb, out_dtype=out_dtype,
+                          dot_dtype=dot_dtype, qb=qb, sb=sb,
+                          sentinel=np.int32(min(int(sentinel), _BIG))),
+        grid=(B, Qp // qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, anchors.shape[-1]), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, qb), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Vp), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, C), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C, Co), lambda b, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qb, Co), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, Co), out_dtype),
+        interpret=interpret,
+    )(anchors, qkeys, sk2, features, weight)
+    return out[:, :Q, :] if q_pad else out
+
+
 def _xla_reference(features, idx, weight):
     """The XLA gather formulation — backward pass + fallback + test oracle."""
 
