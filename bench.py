@@ -10,16 +10,15 @@ Measures the full deployed path at reference eval scale: raw points ->
 VoxelPointNet2FSMSGDistillation student backbone -> statistic vote head ->
 decode -> on-device multi-thresh NMS, batch 16 x 16384 points.
 
-Timing protocol for the axon relay: block_until_ready is a no-op there
-(execution defers to host fetch), so n_iters data-chained model calls run
-inside ONE jit and the scalar fetch is timed, minus the RTT of a trivial
-fetch.
+Timing protocol for the axon relay: data-chained model calls run inside
+ONE jit at two trip counts with per-call-distinct inputs; per-iteration
+time is the two-point difference (tools/bench_timing.py), which cancels
+the relay round-trip without a fragile separate RTT probe.
 """
 from __future__ import annotations
 
 import json
 import pathlib
-import time
 
 import numpy as np
 
@@ -85,37 +84,28 @@ def main():
             + pred["count"].sum()
         )
 
-    # enough chained work (~1.3 s) that relay RTT variance (+-50-100 ms)
-    # stays in the low single-digit % of the measurement
-    n_iters = 24
-
     @jax.jit
-    def chained(v, p):
+    def chained(v, p, n):
         def body(_, carry):
             p_, acc = carry
             s = infer_core(v, p_)
             return p_ + 1e-12 * s, acc + s  # data dep so nothing is elided
 
         _, acc = jax.lax.fori_loop(
-            0, n_iters, body, (p, jnp.zeros((), jnp.float32))
+            0, n, body, (p, jnp.zeros((), jnp.float32))
         )
         return acc
 
-    float(chained(variables, pts))  # compile + first run
+    import sys
+    sys.path.insert(0, str(root / "tools"))
+    from bench_timing import measure_per_iter
 
-    t0 = time.perf_counter()
-    _ = float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
-    rtt = time.perf_counter() - t0
-
-    # each timed call gets DISTINCT inputs: the relay occasionally dedups
-    # a request identical to a previous one, which would time as ~RTT
-    times = []
-    for rep in range(1, 4):
-        prep = pts + np.float32(rep * 1e-6)
-        t0 = time.perf_counter()
-        float(chained(variables, prep))
-        times.append(time.perf_counter() - t0 - rtt)
-    dt = max(min(times), 1e-9) / n_iters
+    dt = measure_per_iter(
+        lambda n, tag: float(chained(
+            variables, pts + np.float32((tag * 31 + n) * 1e-6),
+            jnp.int32(n))),
+        n_small=8, n_big=24,
+    )
     scans_per_sec = batch_size / dt
 
     print(json.dumps({

@@ -104,6 +104,7 @@ def test_bykey_matches_probe_gather():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bykey_dispatch_all_conv_flavors(monkeypatch):
     """With the by-key gate forced on (interpret kernel), subm / strided /
     inverse convs produce the same outputs as the legacy probe+gather

@@ -4,7 +4,6 @@ Reference budget: 100 epochs x 3712 scans / ~5 h on a 2080 Ti at b16
 """
 import json
 import pathlib
-import time
 
 import sys
 import pathlib
@@ -66,7 +65,7 @@ def main():
         return ret["loss"], updated
 
     @jax.jit
-    def train_n(p, os, rest, pts0):
+    def train_n(p, os, rest, pts0, n):
         def step(_, carry):
             p, os, rest, x = carry
             b = {"points": x, "points_mask": mask, "batch_size": B,
@@ -79,22 +78,17 @@ def main():
             p = optax.apply_updates(p, u)
             rest = {**rest, **{k: upd[k] for k in upd}}
             return p, os, rest, x + 1e-12 * l
-        p, os, rest, x = jax.lax.fori_loop(0, 4, step, (p, os, rest, pts0))
+        p, os, rest, x = jax.lax.fori_loop(0, n, step, (p, os, rest, pts0))
         return p, os, rest, x.sum()
 
-    r = train_n(params, opt_state, rest, pts)
-    float(r[-1])
-    t0 = time.perf_counter()
-    _ = float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
-    rtt = time.perf_counter() - t0
-    # distinct inputs per timed call (relay request dedup)
-    times = []
-    for rep in range(1, 4):
-        t0 = time.perf_counter()
-        r = train_n(params, opt_state, rest, pts + np.float32(rep * 1e-6))
-        float(r[-1])
-        times.append(time.perf_counter() - t0 - rtt)
-    dt = max(min(times), 1e-9) / 4
+    from bench_timing import measure_per_iter
+
+    dt = measure_per_iter(
+        lambda n, tag: float(train_n(
+            params, opt_state, rest,
+            pts + np.float32((tag * 31 + n) * 1e-6), jnp.int32(n))[-1]),
+        n_small=2, n_big=6,
+    )
     print(json.dumps({
         "metric": "kitti_tsm_train_scans_per_sec",
         "value": round(B / dt, 2), "unit": "scans/s",

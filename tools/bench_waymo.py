@@ -3,7 +3,6 @@ Reference: 0.1991 s/scan on a 2080 Ti (res_waymo.txt:204-205) = 5.02 scans/s.
 """
 import json
 import pathlib
-import time
 
 import sys
 import pathlib
@@ -70,31 +69,25 @@ def main():
         return (pred["pred_boxes"].sum() + pred["pred_scores"].sum()
                 + pred["count"].sum())
 
-    n_iters = 4
-
     @jax.jit
-    def chained(v, p):
+    def chained(v, p, n):
         def body(_, carry):
             p_, acc = carry
             s = infer_core(v, p_)
             return p_ + 1e-12 * s, acc + s
 
-        _, acc = jax.lax.fori_loop(0, n_iters, body,
+        _, acc = jax.lax.fori_loop(0, n, body,
                                    (p, jnp.zeros((), jnp.float32)))
         return acc
 
-    float(chained(variables, pts))
-    t0 = time.perf_counter()
-    _ = float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(8)))
-    rtt = time.perf_counter() - t0
-    # distinct inputs per timed call: the relay can dedup a request
-    # identical to a previous one (would time as ~RTT)
-    times = []
-    for rep in range(1, 4):
-        t0 = time.perf_counter()
-        float(chained(variables, pts + np.float32(rep * 1e-6)))
-        times.append(time.perf_counter() - t0 - rtt)
-    dt = max(min(times), 1e-9) / n_iters
+    from bench_timing import measure_per_iter
+
+    dt = measure_per_iter(
+        lambda n, tag: float(chained(
+            variables, pts + np.float32((tag * 31 + n) * 1e-6),
+            jnp.int32(n))),
+        n_small=2, n_big=6,
+    )
     sps = batch_size / dt
     print(json.dumps({
         "metric": "waymo_tsm_scans_per_sec_per_chip",

@@ -96,10 +96,24 @@ def rotate_iou_np(boxes_a, boxes_b, criterion=-1):
 
     criterion: -1 IoU, 0 intersection/area_a, 1 intersection/area_b
     (the reference's extra modes used for DontCare suppression).
+
+    Dispatches to the native OpenMP library (ops/host_native.py) when it
+    compiled; the pure-numpy body below is the fallback and parity oracle.
     """
     N, M = len(boxes_a), len(boxes_b)
     if N == 0 or M == 0:
         return np.zeros((N, M), np.float32)
+    from ..ops import host_native
+
+    if host_native.available():
+        return host_native.rotate_iou(
+            np.asarray(boxes_a), np.asarray(boxes_b), criterion
+        )
+    return _rotate_iou_numpy(boxes_a, boxes_b, criterion)
+
+
+def _rotate_iou_numpy(boxes_a, boxes_b, criterion=-1):
+    N, M = len(boxes_a), len(boxes_b)
     ca = _corners(boxes_a.astype(np.float64))   # (N, 4, 2)
     cb = _corners(boxes_b.astype(np.float64))   # (M, 4, 2)
     area_a = (boxes_a[:, 2] * boxes_a[:, 3]).astype(np.float64)

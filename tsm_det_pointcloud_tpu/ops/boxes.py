@@ -100,9 +100,15 @@ def points_in_boxes(points, boxes, extra_width=None, valid_mask=None):
 
 def points_in_boxes_np(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Numpy twin of points_in_boxes (host pipeline / gt-db creation;
-    parity: points_in_boxes_cpu, roiaware_pool3d_utils.py:9)."""
+    parity: points_in_boxes_cpu, roiaware_pool3d_utils.py:9). Dispatches
+    to the native OpenMP library (ops/host_native.py) when compiled; the
+    numpy body is the fallback and parity oracle."""
     if boxes.shape[0] == 0:
         return np.full(points.shape[0], -1, dtype=np.int64)
+    from . import host_native
+
+    if points.shape[0] * boxes.shape[0] >= 1 << 14 and host_native.available():
+        return host_native.points_in_boxes(points, boxes)
     rel = points[:, None, :3] - boxes[None, :, 0:3]
     cosa, sina = np.cos(-boxes[:, 6]), np.sin(-boxes[:, 6])
     x = rel[..., 0] * cosa[None] - rel[..., 1] * sina[None]
