@@ -230,8 +230,9 @@ class VoxelSAModule(nn.Module):
             ):
                 ns = int(ns)
                 if use_fused:
-                    gabs, idx, cnt = group_pallas.fused_query_group(
-                        prep, new_xyz, ns, r, lo, q_valid=new_valid
+                    gabs, _, cnt = group_pallas.fused_query_group(
+                        prep, new_xyz, ns, r, lo, q_valid=new_valid,
+                        need_idx=False,
                     )
                     g_xyz = gabs[..., :3] - new_xyz[:, :, None, :]
                     parts = [g_xyz]
@@ -277,10 +278,10 @@ class VoxelSAModule(nn.Module):
                 qr = tuple(int(v) for v in self.query_ranges[i])
 
                 if use_fused:
-                    gabs, idx, cnt = group_pallas.fused_query_group(
+                    gabs, _, cnt = group_pallas.fused_query_group(
                         prep, new_xyz, ns, float(r), float(min_r),
                         q_valid=new_valid, q_coords=new_coords,
-                        query_range=qr,
+                        query_range=qr, need_idx=False,
                     )
                     g_xyz_abs = gabs[..., :3]
                     g_feat = gabs[..., 3:]

@@ -78,7 +78,8 @@ def morton_code(xyz, origin, cell=1.0, bits=10):
 
 
 def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
-            max_r2, min_r2, qr, use_window, qb, sb, kc, gather_chs):
+            max_r2, min_r2, qr, use_window, qb, sb, kc, gather_chs,
+            need_srow):
     if len(refs) == 4:
         pf_ref, outf_ref, outi_ref, cnt_ref = refs
         outf_ref[0, 0] = jnp.zeros_like(outf_ref[0, 0])
@@ -158,12 +159,16 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
                     outi_ref[0, 0, rows, oc:oc + 1] += jnp.sum(
                         ohi * v, axis=1, keepdims=True
                     )
-                # sorted row = st + lane index (virtual channel — not
-                # worth a resident payload row); goes to slot SROW_OC
-                vs = st + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
-                outi_ref[0, 0, rows, SROW_OC:SROW_OC + 1] += jnp.sum(
-                    ohi * vs, axis=1, keepdims=True
-                )
+                if need_srow:
+                    # sorted row = st + lane index (virtual channel — not
+                    # worth a resident payload row); goes to slot SROW_OC.
+                    # Only the VJP needs it (backward scatter target);
+                    # the eval/primal path skips the reduce entirely.
+                    vs = st + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, sb), 1)
+                    outi_ref[0, 0, rows, SROW_OC:SROW_OC + 1] += jnp.sum(
+                        ohi * vs, axis=1, keepdims=True
+                    )
         return 0
 
     # dynamic trip count: Mosaic rejects scf.for with non-constant bounds
@@ -176,10 +181,12 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
 @functools.partial(
     jax.jit,
     static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
-                     "has_coords", "sb", "interpret"),
+                     "has_coords", "sb", "interpret", "need_idx",
+                     "need_srow"),
 )
 def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
-                 has_coords, sb, interpret=False):
+                 has_coords, sb, interpret=False, need_idx=True,
+                 need_srow=True):
     """bb (B, n_sb8, 16) f32 block bboxes (xyz rows in 1/FP units);
     q (B, Qp, 8) f32 [xyz_fp, coords, valid, pad]; pi (B, NI, Np) i32
     [xyz_fp(3), coords(3), orig_row, sorted_row, bitcast feats...]
@@ -192,9 +199,10 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     # payload rows: [xfp(3)] [+ coords(3) if has_coords] [orow] [feats...]
     orow_ch = 6 if has_coords else 3
     feat_chs = tuple(range(orow_ch + 1, n_int))
-    gather_chs = (
-        (0, 0), (1, 1), (2, 2), (3, orow_ch),
-    ) + tuple((5 + i, ch) for i, ch in enumerate(feat_chs))
+    gather_chs = ((0, 0), (1, 1), (2, 2))
+    if need_idx:  # original-row channel only when the caller uses idx
+        gather_chs += ((3, orow_ch),)
+    gather_chs += tuple((5 + i, ch) for i, ch in enumerate(feat_chs))
     no8 = -(-(5 + len(feat_chs)) // 8) * 8
     max_r2 = max_r2 * float(FP) * float(FP)
     min_r2 = min_r2 * float(FP) * float(FP)
@@ -275,7 +283,7 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
         functools.partial(
             _kernel, ns=ns, n_sb=n_sb, max_r2=max_r2, min_r2=min_r2,
             qr=qr, use_window=use_window, qb=QB, sb=sb, kc=kc,
-            gather_chs=gather_chs,
+            gather_chs=gather_chs, need_srow=need_srow,
         ),
         grid=(B, nq),
         in_specs=in_specs,
@@ -396,7 +404,7 @@ def _prepare_queries(q_xyz, q_valid, q_coords=None):
 
 def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
                       q_valid=None, q_coords=None, query_range=None,
-                      sort_queries=True, interpret=False):
+                      sort_queries=True, interpret=False, need_idx=True):
     """Query `prepared` sources (see prepare_sources) from q_xyz (B, Q, 3).
 
     Returns:
@@ -404,7 +412,9 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
         point) + features (bf16-rounded) of the first-in-scan-order `ns`
         in-range sources; slots >= cnt are zero and MUST be masked by
         callers before use (grad contract).
-      idx (B, Q, ns) int32 — original source rows of the filled slots.
+      idx (B, Q, ns) int32 — original source rows of the filled slots
+        (all-zero when need_idx=False: callers that never read idx save
+        one exact-int lane-reduce per slot chunk in the kernel).
       cnt (B, Q) int32 — exact in-range counts (uncapped).
     In-range = min_radius <= dist < max_radius, and when query_range /
     q_coords are given, |q_coord - src_coord| <= query_range per axis.
@@ -441,7 +451,7 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
         prepared["bb"], q, prepared["pi"], prepared["pf"],
         int(ns), float(max_radius) ** 2, float(min_radius) ** 2, qr,
         query_range is not None, prepared["has_coords"], interpret,
-        prepared["n_feat"], prepared["sb"],
+        prepared["n_feat"], prepared["sb"], need_idx,
     )
     if pad_q:
         grouped, idx, cnt = grouped[:, :Q], idx[:, :Q], cnt[:, :Q]
@@ -454,11 +464,13 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
 
 
 def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
-              has_coords, interpret, nf, sb):
+              has_coords, interpret, nf, sb, need_idx=True,
+              need_srow=True):
     pf = feats if nf > 3 else None
     outf, outi, cnt = _fused_group(bb, q, pi, pf, ns, max_r2, min_r2,
                                    qr, use_window, has_coords, sb,
-                                   interpret=interpret)
+                                   interpret=interpret, need_idx=need_idx,
+                                   need_srow=need_srow)
     g_xyz = outi[..., :3].astype(jnp.float32) / FP
     idx = outi[..., 3]
     if nf == 0:
@@ -472,25 +484,29 @@ def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _fused_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
-                has_coords, interpret, nf, sb):
+                has_coords, interpret, nf, sb, need_idx=True):
+    # primal (eval / no-grad) path: the sorted-row channel exists only
+    # for the VJP's backward scatter — skip its per-chunk reduce.
     g, idx, cnt, _ = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
                                qr, use_window, has_coords, interpret, nf,
-                               sb)
+                               sb, need_idx=need_idx, need_srow=False)
     return g, idx, cnt
 
 
 def _fused_core_fwd(bb, q, pi, feats, ns, max_r2, min_r2, qr,
-                    use_window, has_coords, interpret, nf, sb):
+                    use_window, has_coords, interpret, nf, sb,
+                    need_idx=True):
     g, idx, cnt, srow = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
                                   qr, use_window, has_coords, interpret,
-                                  nf, sb)
+                                  nf, sb, need_idx=need_idx,
+                                  need_srow=True)
     return (g, idx, cnt), (srow, None if feats is None else feats.shape)
 
 
 def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, has_coords,
-                    interpret, nf, sb, res, ct):
+                    interpret, nf, sb, need_idx, res, ct):
     """Scatter the feature cotangent back to the SORTED payload rows (the
     autodiff through prepare_sources' take_along_axis maps them to the
     original rows). xyz/selection are treated as non-differentiable.

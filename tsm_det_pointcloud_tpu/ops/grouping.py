@@ -184,7 +184,8 @@ def query_group_scales(xyz, features, valid, new_xyz, new_valid, scales,
         for mn, mx, ns in scales:
             ns = int(ns)
             gabs, _, cnt = group_pallas.fused_query_group(
-                prep, new_xyz, ns, float(mx), float(mn), q_valid=new_valid
+                prep, new_xyz, ns, float(mx), float(mn),
+                q_valid=new_valid, need_idx=False,
             )
             slot_ok = (
                 (jnp.arange(ns)[None, None, :] < cnt[:, :, None])

@@ -35,7 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = 256  # query rows per block (default; see _gather_matmul_fwd)
-SB = 256  # source rows per window step
+SB = 256  # source rows per window step (idx-based gather_matmul)
+SB_BYKEY = 512  # bykey window step: tuned on-chip (tools/tune_kernels.py)
+                # — (qb=256, sb=512, tg=9) beats (256, 256, 1) by 1.3-2.1x
+                # on all three TSM conv shapes
 
 
 def _kernel(idx_ref, f_ref, w_ref, o_ref, *, nsb, out_dtype, dot_dtype,
@@ -124,19 +127,33 @@ ANCHOR_STRIDE = 256  # row-rank granularity of the key-window bound
 
 
 def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
-                  out_dtype, dot_dtype, qb, sb, sentinel):
+                  out_dtype, dot_dtype, qb, sb, sentinel, tg):
     """Fused probe+gather: one-hot match on voxel KEYS instead of probed
     slot indices. The window of source rows that can match a block of
     target keys is located by counting anchors (skeys[::ANCHOR_STRIDE])
     <= the block's min/max care key — rows before the last anchor <= min
     are strictly smaller (keys are strictly ascending on the valid
-    prefix), rows from the first anchor > max are strictly larger."""
+    prefix), rows from the first anchor > max are strictly larger.
+
+    `tg` taps share one window loop (rows of the one-hot are tap-major
+    stacked). Taps are x-fastest (ops/spconv.kernel_offsets) and keys are
+    x-fastest (ops/spconv.linearize), so a same-z tap group's key windows
+    differ only by ±(gx+1): the union window is barely wider than one tap's, and
+    the per-tap scalar/loop overhead (anchor counts, while_loop control,
+    dot issues) is paid K/tg times instead of K — the kernel is overhead-
+    bound, not MXU-bound (SURVEY §8). tg must divide K; tg=1 is the
+    original per-tap loop."""
     K = qk_ref.shape[1]
     c, co = w_ref.shape[-2], w_ref.shape[-1]
     anch = anch_ref[0, 0:1, :]
 
-    def tap(k, acc):
-        q = qk_ref[0, pl.ds(k, 1), :].reshape(qb, 1)  # target keys
+    def tap(g_i, acc):
+        # target keys for tg consecutive taps, tap-major rows. Built from
+        # per-tap (qb, 1) reshapes + a sublane concat — a direct
+        # (1, tg, qb) -> (tg*qb, 1) reshape crashes Mosaic.
+        q = jnp.concatenate(
+            [qk_ref[0, pl.ds(g_i * tg + t, 1), :].reshape(qb, 1)
+             for t in range(tg)], 0)
         care = q < sentinel
         qlo = jnp.min(jnp.where(care, q, _BIG))
         qhi = jnp.max(jnp.where(care, q, -1))
@@ -159,23 +176,27 @@ def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
             )
 
         _, g = jax.lax.while_loop(
-            cond, body, (s0, jnp.zeros((qb, c), jnp.float32))
+            cond, body, (s0, jnp.zeros((tg * qb, c), jnp.float32))
         )
-        wk = w_ref[pl.ds(k, 1), :, :].reshape(c, co)
-        return acc + jnp.dot(g.astype(dot_dtype), wk.astype(dot_dtype),
-                             preferred_element_type=jnp.float32)
+        for t in range(tg):
+            wk = w_ref[pl.ds(g_i * tg + t, 1), :, :].reshape(c, co)
+            gt = jax.lax.slice(g, (t * qb, 0), ((t + 1) * qb, c))
+            acc = acc + jnp.dot(gt.astype(dot_dtype), wk.astype(dot_dtype),
+                                preferred_element_type=jnp.float32)
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, K, tap, jnp.zeros((qb, co), jnp.float32), unroll=False
+        0, K // tg, tap, jnp.zeros((qb, co), jnp.float32), unroll=False
     )
     o_ref[0] = acc.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sentinel", "interpret", "bf16", "qb",
-                                    "sb"))
+                                    "sb", "tg"))
 def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
-                        interpret=False, bf16=False, qb=QB, sb=SB):
+                        interpret=False, bf16=False, qb=QB, sb=None,
+                        tg=None):
     """out[b, q] = sum_k weight[k]^T @ features[b, row(skeys == qkeys[b,k,q])]
     — the probe (ops/spconv._lookup_batched) and gather fused in one pass.
 
@@ -190,6 +211,10 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
     _, K, Q = qkeys.shape
     Co = weight.shape[-1]
     out_dtype = features.dtype
+    if sb is None:
+        sb = SB_BYKEY
+    if tg is None:  # taps per window loop: one z-plane when possible
+        tg = 9 if K % 9 == 0 else (3 if K % 3 == 0 else 1)
 
     v_pad = -V % max(sb, ANCHOR_STRIDE)
     q_pad = -Q % qb
@@ -218,7 +243,7 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
 
     out = pl.pallas_call(
         functools.partial(_bykey_kernel, nsb=nsb, out_dtype=out_dtype,
-                          dot_dtype=dot_dtype, qb=qb, sb=sb,
+                          dot_dtype=dot_dtype, qb=qb, sb=sb, tg=tg,
                           sentinel=np.int32(min(int(sentinel), _BIG))),
         grid=(B, Qp // qb),
         in_specs=[
