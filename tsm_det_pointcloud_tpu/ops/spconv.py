@@ -346,19 +346,34 @@ def _downsample_out_coords(coords, valid, grid, out_grid, kernel_size, stride,
     ok = ok.reshape(-1)
 
     keys = linearize(cands, out_grid, ok)
-    order = jnp.argsort(keys)
-    skeys = keys[order]
-    scands = cands[order]
+    # variadic sort carries the coord payload through the sort network —
+    # argsort + payload gathers lower to serialized row gathers on TPU
+    # (~9 ms/fwd across the shared conv plans; the carried sort is ~4x
+    # cheaper)
+    skeys, sc0, sc1, sc2 = jax.lax.sort(
+        (keys, cands[:, 0], cands[:, 1], cands[:, 2]), num_keys=1
+    )
     sentinel = int(np.prod(out_grid))
     svalid = skeys < sentinel
     is_start = jnp.concatenate(
         [svalid[:1], (skeys[1:] != skeys[:-1]) & svalid[1:]]
     )
     slot = jnp.cumsum(is_start) - 1
-    out_coords = jnp.full((out_capacity, 3), -1, jnp.int32)
-    write = jnp.where(is_start & (slot < out_capacity), slot, out_capacity)
-    out_coords = out_coords.at[write].set(scands, mode="drop")
-    out_valid = jnp.arange(out_capacity) < jnp.minimum(jnp.sum(is_start), out_capacity)
+    # compact the unique starts to the front: a second carried sort on
+    # (is_start ? slot : BIG) replaces the row scatter (.at[write].set),
+    # which XLA also serializes
+    ckey = jnp.where(is_start, slot, np.int32(2**31 - 1))
+    if ckey.shape[0] < out_capacity:  # tiny inputs: pad to capacity
+        pad = out_capacity - ckey.shape[0]
+        ckey = jnp.pad(ckey, (0, pad), constant_values=2**31 - 1)
+        sc0, sc1, sc2 = (jnp.pad(x, (0, pad)) for x in (sc0, sc1, sc2))
+    _, oc0, oc1, oc2 = jax.lax.sort((ckey, sc0, sc1, sc2), num_keys=1)
+    out_coords = jnp.stack(
+        [oc0[:out_capacity], oc1[:out_capacity], oc2[:out_capacity]], -1
+    )
+    n_out = jnp.minimum(jnp.sum(is_start), out_capacity)
+    out_valid = jnp.arange(out_capacity) < n_out
+    out_coords = jnp.where(out_valid[:, None], out_coords, -1)
     return out_coords, out_valid
 
 
