@@ -140,3 +140,41 @@ def test_nsample_not_multiple_of_chunk(data):
         prep, jnp.asarray(qxyz), 6, 2.4, 0.0,
         q_valid=jnp.asarray(qvalid), interpret=True)
     _check(data, np.asarray(g), np.asarray(i), np.asarray(c), 6, 0.0, 2.4)
+
+
+def test_blocked_layout_matches_unblocked(data):
+    """sort_queries_shared + fused_query_group_blocked must equal the
+    plain fused_query_group after manual unblock + unsort (the blocked
+    API only changes layout, never selection or values)."""
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+    ns, min_r, max_r = 8, 0.0, 2.0
+    prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(sfeat),
+                              jnp.asarray(svalid))
+    ref_g, _, ref_cnt = gp.fused_query_group(
+        prep, jnp.asarray(qxyz), ns, max_r, min_r,
+        q_valid=jnp.asarray(qvalid), interpret=True, need_idx=False)
+
+    qs = gp.sort_queries_shared(jnp.asarray(qxyz), jnp.asarray(qvalid))
+    gb, _, cnt_b = gp.fused_query_group_blocked(
+        prep, qs, ns, max_r, min_r, interpret=True)
+    # manual unblock: (B, nq, ns, QB, C) -> (B, Qp, ns, C); then unsort
+    nq = gb.shape[1]
+    g = jnp.transpose(gb, (0, 1, 3, 2, 4)).reshape(
+        B, nq * gp.QB, ns, gb.shape[-1])[:, :Q]
+    cnt = cnt_b.reshape(B, nq * gp.QB)[:, :Q]
+    inv = qs["inv"]
+    g = jnp.take_along_axis(g, inv[..., None, None], axis=1)
+    cnt = jnp.take_along_axis(cnt, inv, axis=1)
+
+    assert np.array_equal(np.asarray(cnt), np.asarray(ref_cnt))
+    vm = np.asarray(qvalid)[:, :, None, None]
+    slot = np.arange(ns)[None, None, :, None] < np.asarray(
+        np.minimum(cnt, ns))[:, :, None, None]
+    m = vm & slot
+    assert np.allclose(np.where(m, np.asarray(g), 0),
+                       np.where(m, np.asarray(ref_g), 0), atol=1e-6)
+
+    # valid_b unsorts back to the caller's q_valid
+    vb = jnp.take_along_axis(
+        qs["valid_b"].reshape(B, -1)[:, :Q], inv, axis=1)
+    assert np.array_equal(np.asarray(vb), qvalid)

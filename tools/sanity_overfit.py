@@ -148,6 +148,14 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
     from tsm_det_pointcloud_tpu.runtime.optimization import build_optimizer
     from tsm_det_pointcloud_tpu.parallel.train_state import wrap_student_only
 
+    # sanity threshold: the cls target is centerness x RDIoU quality
+    # (capped well below 1 off-center), so a correctly-overfit model's
+    # best candidates can sit under the deployment SCORE_THRESH (0.62
+    # Car). The sanity question is "do detections land on the planted
+    # boxes", so score-gate at 0.2 and let NMS + IoU>0.5 do the judging.
+    pp = cfg.MODEL.POST_PROCESSING
+    pp["SCORE_THRESH"] = [0.2] * len(
+        pp.get("SCORE_THRESH", [0.2, 0.2, 0.2]))
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES),
                           dataset=meta)
     variables = jax.jit(lambda r, b: model.init(r, b, training=True))(
@@ -231,8 +239,23 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
     pb = np.asarray(pred["pred_boxes"])
     ps = np.asarray(pred["pred_scores"])
     cnt = np.asarray(pred["count"])
+    raw = model.apply({"params": params, **rest}, dict(ev), training=False)
+    raw_s = np.asarray(jax.nn.sigmoid(raw["batch_cls_preds"]).max(
+        axis=(1, 2)))
+    # statistic-buffer magnitude: the multiplicative class-statistic
+    # conditioning starts from ZERO buffers (reference
+    # code_board.py:93-95) and only moves once backbone confidence
+    # crosses 0.3 (:884-901) — until then the classifier is a constant
+    # and phase 2 would inherit a dead conditioner, so surface it.
+    stat_mag = float(max(
+        (float(np.abs(np.asarray(v)).max()) for v in
+         jax.tree_util.tree_leaves(rest.get("statistics", {}))),
+        default=0.0,
+    ))
     print(f"[{tag}] max score per sample:",
-          [round(float(s.max()), 3) for s in ps], flush=True)
+          [round(float(s.max()), 3) for s in ps],
+          "raw:", [round(float(s), 3) for s in raw_s],
+          f"stat_mag: {stat_mag:.4f}", flush=True)
     hits = 0
     total_gt = 0
     for b in range(B):
@@ -246,6 +269,7 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
     first, last = float(np.mean(losses[:10])), float(np.mean(losses[-10:]))
 
     res = {
+        "stat_mag": round(stat_mag, 4),
         "loss_first10": round(first, 3), "loss_last10": round(last, 3),
         "det_counts": cnt.tolist(),
         "gt_hits@0.5": hits, "gt_total": total_gt,
@@ -284,7 +308,7 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--scale", choices=["full", "small"], default="full")

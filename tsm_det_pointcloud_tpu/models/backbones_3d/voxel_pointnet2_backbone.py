@@ -216,9 +216,12 @@ class VoxelSAModule(nn.Module):
                 pairs.append((float(lo), float(r)))
             use_fused = group_pallas.enabled()
             if use_fused:
-                # fused Pallas query+group: one Morton-sorted payload
-                # shared by all scales (ops/group_pallas.py)
+                # fused Pallas query+group: one Morton-sorted payload AND
+                # one sorted query set shared by all scales; outputs stay
+                # in the kernel's blocked layout through the MLP+pool and
+                # only the pooled (B, Q, C) is unsorted (group_pallas.py)
                 prep = group_pallas.prepare_sources(xyz, features, valid)
+                qs = group_pallas.sort_queries_shared(new_xyz, new_valid)
             else:
                 # XLA fallback: all scales share one (M, N) distance grid
                 queries = grouping.ball_query_multi(
@@ -230,21 +233,37 @@ class VoxelSAModule(nn.Module):
             ):
                 ns = int(ns)
                 if use_fused:
-                    gabs, _, cnt = group_pallas.fused_query_group(
-                        prep, new_xyz, ns, r, lo, q_valid=new_valid,
-                        need_idx=False,
+                    gb, _, cnt = group_pallas.fused_query_group_blocked(
+                        prep, qs, ns, r, lo
                     )
-                    g_xyz = gabs[..., :3] - new_xyz[:, :, None, :]
-                    parts = [g_xyz]
+                    vb = qs["valid_b"]                     # (B, nq, QB)
+                    slot_ok = (
+                        (jnp.arange(ns)[None, None, :, None]
+                         < cnt[:, :, None, :]) & vb[:, :, None, :]
+                    )
+                    parts = [gb[..., :3] - qs["xyz_b"][:, :, None]]
                     if features is not None:
-                        parts.append(gabs[..., 3:])
-                else:
-                    idx, cnt = queries[i]
-                    g_xyz = (grouping.group_points(xyz, idx)
-                             - new_xyz[:, :, None, :])
-                    parts = [g_xyz]
-                    if features is not None:
-                        parts.append(grouping.group_points(features, idx))
+                        parts.append(gb[..., 3:])
+                    grouped = jnp.where(
+                        slot_ok[..., None], jnp.concatenate(parts, -1), 0.0
+                    )
+                    h = SharedMLP(mlp, name=f"point_mlp{i}")(
+                        grouped, training, mask=slot_ok[..., None]
+                    )
+                    h = jnp.where(slot_ok[..., None], h, -1e9).max(axis=2)
+                    h = jnp.where(
+                        vb[..., None] & (cnt[..., None] > 0), h, 0.0
+                    )
+                    h = h.reshape(h.shape[0], -1, h.shape[-1])[:, :qs["Q"]]
+                    h = jnp.take_along_axis(h, qs["inv"][..., None], axis=1)
+                    outs.append(h)
+                    continue
+                idx, cnt = queries[i]
+                g_xyz = (grouping.group_points(xyz, idx)
+                         - new_xyz[:, :, None, :])
+                parts = [g_xyz]
+                if features is not None:
+                    parts.append(grouping.group_points(features, idx))
                 slot_ok = (
                     (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
                     & new_valid[:, :, None]
@@ -270,6 +289,9 @@ class VoxelSAModule(nn.Module):
                 prep = group_pallas.prepare_sources(
                     centroid_xyz, sp.features, sp.valid, src_coords=sp.coords
                 )
+                qs = group_pallas.sort_queries_shared(
+                    new_xyz, new_valid, q_coords=new_coords
+                )
             for i, (r, ns, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)
             ):
@@ -278,14 +300,35 @@ class VoxelSAModule(nn.Module):
                 qr = tuple(int(v) for v in self.query_ranges[i])
 
                 if use_fused:
-                    gabs, _, cnt = group_pallas.fused_query_group(
-                        prep, new_xyz, ns, float(r), float(min_r),
-                        q_valid=new_valid, q_coords=new_coords,
-                        query_range=qr, need_idx=False,
+                    gb, _, cnt = group_pallas.fused_query_group_blocked(
+                        prep, qs, ns, float(r), float(min_r),
+                        query_range=qr,
                     )
-                    g_xyz_abs = gabs[..., :3]
-                    g_feat = gabs[..., 3:]
-                else:
+                    vb = qs["valid_b"]                     # (B, nq, QB)
+                    slot_ok = (
+                        (jnp.arange(ns)[None, None, :, None]
+                         < cnt[:, :, None, :]) & vb[:, :, None, :]
+                    )
+                    g_xyz = gb[..., :3] - qs["xyz_b"][:, :, None]
+                    g_feat = jnp.where(slot_ok[..., None], gb[..., 3:], 0.0)
+                    g_xyz = jnp.where(slot_ok[..., None], g_xyz, 0.0)
+                    hf = _MLPNoFinalRelu(mlp, name=f"point_mlp{i}")(
+                        g_feat, training, mask=slot_ok[..., None]
+                    )
+                    c_last = mlp[-1]
+                    hx = _MLPNoFinalRelu(
+                        [c_last // 2, c_last], name=f"pos_mlp{i}"
+                    )(g_xyz, training, mask=slot_ok[..., None])
+                    h = nn.relu(hf + hx)
+                    h = jnp.where(slot_ok[..., None], h, -1e9).max(axis=2)
+                    h = jnp.where(
+                        vb[..., None] & (cnt[..., None] > 0), h, 0.0
+                    )
+                    h = h.reshape(h.shape[0], -1, h.shape[-1])[:, :qs["Q"]]
+                    h = jnp.take_along_axis(h, qs["inv"][..., None], axis=1)
+                    outs.append(h)
+                    continue
+                if True:
                     def one(nx, nc, cx, scoords, svalid, sfeat):
                         return voxel_query(
                             nx, nc, cx, scoords, svalid,

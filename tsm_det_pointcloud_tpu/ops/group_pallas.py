@@ -182,11 +182,11 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
     jax.jit,
     static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
                      "has_coords", "sb", "interpret", "need_idx",
-                     "need_srow"),
+                     "need_srow", "blocked"),
 )
 def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
                  has_coords, sb, interpret=False, need_idx=True,
-                 need_srow=True):
+                 need_srow=True, blocked=False):
     """bb (B, n_sb8, 16) f32 block bboxes (xyz rows in 1/FP units);
     q (B, Qp, 8) f32 [xyz_fp, coords, valid, pad]; pi (B, NI, Np) i32
     [xyz_fp(3), coords(3), orig_row, sorted_row, bitcast feats...]
@@ -292,16 +292,28 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
         interpret=interpret,
     )(*args)
 
-    # rows are j-major within a block: (nq, ns, QB, .) -> (B, Q, ns, .)
+    # rows are j-major within a block: (nq, ns, QB, .) -> (B, Q, ns, .).
+    # blocked=True keeps the kernel's native (B, nq, ns, QB, .) layout —
+    # the transpose is a full-array HBM copy (~2 ms per sa0-scale output)
+    # that pooling consumers never needed: elementwise ops and the
+    # max-over-ns reduce are layout-agnostic, so they run blocked and
+    # only the pooled (B, Q, C) result is unsorted back (see
+    # fused_query_group_blocked).
     def unblock(x):
-        x = x.reshape(B, nq, ns, QB, x.shape[-1]).transpose(0, 1, 3, 2, 4)
+        x = x.reshape(B, nq, ns, QB, x.shape[-1])
+        if blocked:
+            return x
+        x = x.transpose(0, 1, 3, 2, 4)
         return x.reshape(B, Qp, ns, x.shape[-1])
+
+    def shape_cnt(c):
+        return c.reshape(B, nq, QB) if blocked else c.reshape(B, Qp)
 
     if pf is not None:
         outf, outi, cnt = res
-        return unblock(outf), unblock(outi), cnt.reshape(B, Qp)
+        return unblock(outf), unblock(outi), shape_cnt(cnt)
     outi, cnt = res
-    return None, unblock(outi), cnt.reshape(B, Qp)
+    return None, unblock(outi), shape_cnt(cnt)
 
 
 def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
@@ -462,15 +474,82 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
         cnt = jnp.take_along_axis(cnt, inv, axis=1)
     return grouped, idx, cnt
 
+def sort_queries_shared(q_xyz, q_valid=None, q_coords=None):
+    """Morton-sort a query set ONCE for sharing across scales (the
+    blocked API). One variadic lax.sort carries xyz/coords/valid/row
+    through the sort network (argsort + per-array take_along_axis lowers
+    to serialized row gathers on TPU). Returns the dict consumed by
+    fused_query_group_blocked."""
+    B, Q, _ = q_xyz.shape
+    v = jnp.ones((B, Q), bool) if q_valid is None else q_valid
+    xyzm = jnp.where(v[..., None], q_xyz, 1e30)
+    origin = jnp.min(xyzm, axis=1, keepdims=True)
+    qcode = jnp.where(v, morton_code(xyzm, origin), np.int32(2**31 - 1))
+    iota = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[None], (B, Q))
+    ops = [qcode, q_xyz[..., 0], q_xyz[..., 1], q_xyz[..., 2],
+           v.astype(jnp.int32), iota]
+    nc = 0
+    if q_coords is not None:
+        nc = q_coords.shape[-1]
+        ops += [q_coords[..., a] for a in range(nc)]
+    out = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+    s_xyz = jnp.stack(out[1:4], -1)
+    s_valid = out[4].astype(bool)
+    qord = out[5]
+    s_coords = jnp.stack(out[6:6 + nc], -1) if nc else None
+    # inverse permutation via a second (cheap, 2-operand) carried sort
+    _, inv = jax.lax.sort((qord, iota), dimension=1, num_keys=1)
+    q, pad_q = _prepare_queries(s_xyz, s_valid, s_coords)
+    nq = q.shape[1] // QB
+    xyz_p = (s_xyz if pad_q == 0
+             else jnp.pad(s_xyz, ((0, 0), (0, pad_q), (0, 0))))
+    valid_p = (s_valid if pad_q == 0
+               else jnp.pad(s_valid, ((0, 0), (0, pad_q))))
+    return dict(q=q, Q=Q, pad_q=pad_q, inv=inv,
+                xyz_b=xyz_p.reshape(B, nq, QB, 3),
+                valid_b=valid_p.reshape(B, nq, QB),
+                coords=s_coords)
+
+
+def fused_query_group_blocked(prepared, qs, ns, max_radius,
+                              min_radius=0.0, query_range=None,
+                              need_idx=False, interpret=False):
+    """Blocked-layout variant of fused_query_group for POOLING consumers.
+
+    qs = sort_queries_shared(...); sharing it across scales runs the
+    query Morton sort once instead of per scale. Outputs stay in the
+    kernel's native blocked layout — no (ns, QB) transpose copies, no
+    per-scale unsort gathers; consumers run their (layout-agnostic)
+    elementwise ops + max-over-ns pool blocked, then unsort only the
+    pooled (B, Q, C) result:
+
+        h = pool(...)                        # (B, nq, QB, C)
+        h = h.reshape(B, -1, C)[:, :qs["Q"]]
+        h = jnp.take_along_axis(h, qs["inv"][..., None], axis=1)
+
+    Returns grouped (B, nq, ns, QB, 3 + C), idx (B, nq, ns, QB) (zeros
+    unless need_idx), cnt (B, nq, QB) — all in sorted-query order;
+    qs["xyz_b"] (B, nq, QB, 3) and qs["valid_b"] (B, nq*QB) match it.
+    """
+    qr = (0, 0, 0) if query_range is None else tuple(int(x) for x in
+                                                     query_range)
+    return _fused_core(
+        prepared["bb"], qs["q"], prepared["pi"], prepared["pf"],
+        int(ns), float(max_radius) ** 2, float(min_radius) ** 2, qr,
+        query_range is not None, prepared["has_coords"], interpret,
+        prepared["n_feat"], prepared["sb"], need_idx, True,
+    )
+
+
 
 def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
               has_coords, interpret, nf, sb, need_idx=True,
-              need_srow=True):
+              need_srow=True, blocked=False):
     pf = feats if nf > 3 else None
     outf, outi, cnt = _fused_group(bb, q, pi, pf, ns, max_r2, min_r2,
                                    qr, use_window, has_coords, sb,
                                    interpret=interpret, need_idx=need_idx,
-                                   need_srow=need_srow)
+                                   need_srow=need_srow, blocked=blocked)
     g_xyz = outi[..., :3].astype(jnp.float32) / FP
     idx = outi[..., 3]
     if nf == 0:
@@ -484,29 +563,31 @@ def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _fused_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
-                has_coords, interpret, nf, sb, need_idx=True):
+                has_coords, interpret, nf, sb, need_idx=True,
+                blocked=False):
     # primal (eval / no-grad) path: the sorted-row channel exists only
     # for the VJP's backward scatter — skip its per-chunk reduce.
     g, idx, cnt, _ = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
                                qr, use_window, has_coords, interpret, nf,
-                               sb, need_idx=need_idx, need_srow=False)
+                               sb, need_idx=need_idx, need_srow=False,
+                               blocked=blocked)
     return g, idx, cnt
 
 
 def _fused_core_fwd(bb, q, pi, feats, ns, max_r2, min_r2, qr,
                     use_window, has_coords, interpret, nf, sb,
-                    need_idx=True):
+                    need_idx=True, blocked=False):
     g, idx, cnt, srow = _run_core(bb, q, pi, feats, ns, max_r2, min_r2,
                                   qr, use_window, has_coords, interpret,
                                   nf, sb, need_idx=need_idx,
-                                  need_srow=True)
+                                  need_srow=True, blocked=blocked)
     return (g, idx, cnt), (srow, None if feats is None else feats.shape)
 
 
 def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, has_coords,
-                    interpret, nf, sb, need_idx, res, ct):
+                    interpret, nf, sb, need_idx, blocked, res, ct):
     """Scatter the feature cotangent back to the SORTED payload rows (the
     autodiff through prepare_sources' take_along_axis maps them to the
     original rows). xyz/selection are treated as non-differentiable.
@@ -515,9 +596,10 @@ def _fused_core_bwd(ns, max_r2, min_r2, qr, use_window, has_coords,
     dg, _, _ = ct
     if feats_shape is None:
         return None, None, None, None
-    B, Q, ns_, _ = dg.shape
-    flat_idx = srow.reshape(B, Q * ns_)
-    dfeat = dg[..., 3:].reshape(B, Q * ns_, feats_shape[-1])
+    B = dg.shape[0]
+    rows = int(np.prod(dg.shape[1:-1]))  # (Q, ns) or (nq, ns, QB)
+    flat_idx = srow.reshape(B, rows)
+    dfeat = dg[..., 3:].reshape(B, rows, feats_shape[-1])
 
     def scat(d, i):
         z = jnp.zeros(feats_shape[1:], d.dtype)

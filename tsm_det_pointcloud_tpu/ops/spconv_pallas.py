@@ -213,8 +213,25 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
     out_dtype = features.dtype
     if sb is None:
         sb = SB_BYKEY
-    if tg is None:  # taps per window loop: one z-plane when possible
-        tg = 9 if K % 9 == 0 else (3 if K % 3 == 0 else 1)
+    if tg is None:
+        # taps per window loop: one z-plane (9) when it fits. The scoped
+        # VMEM budget is ~16 MB; residents are the feature block, the
+        # weight block and the key rows, transients the (tg*qb, sb)
+        # one-hot + (tg*qb, C) accumulator + (sb, C) window (lane dims
+        # pad to 128). Shrink tg until resident + transient fits — the
+        # 256-channel training convs OOM at tg=9.
+        cp = max(C, 128)
+        cop = max(Co, 128)
+        resident = 4 * (V * cp + K * C * cop + K * Q + 2 * V + 256)
+        budget = 14 * 1024 * 1024
+        tg = 1
+        for cand in (9, 3):
+            if K % cand:
+                continue
+            transient = 4 * (cand * qb * sb + cand * qb * cp + sb * cp)
+            if resident + transient <= budget:
+                tg = cand
+                break
 
     v_pad = -V % max(sb, ANCHOR_STRIDE)
     q_pad = -Q % qb
