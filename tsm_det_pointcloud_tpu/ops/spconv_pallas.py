@@ -151,9 +151,14 @@ def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
         # target keys for tg consecutive taps, tap-major rows. Built from
         # per-tap (qb, 1) reshapes + a sublane concat — a direct
         # (1, tg, qb) -> (tg*qb, 1) reshape crashes Mosaic.
-        q = jnp.concatenate(
-            [qk_ref[0, pl.ds(g_i * tg + t, 1), :].reshape(qb, 1)
-             for t in range(tg)], 0)
+        if tg == 1:  # degenerate concat/slice below cost a ~256 KB
+            # stack copy each — enough to OOM the 256-ch conv's last
+            # few hundred KB of scoped VMEM headroom
+            q = qk_ref[0, pl.ds(g_i, 1), :].reshape(qb, 1)
+        else:
+            q = jnp.concatenate(
+                [qk_ref[0, pl.ds(g_i * tg + t, 1), :].reshape(qb, 1)
+                 for t in range(tg)], 0)
         care = q < sentinel
         qlo = jnp.min(jnp.where(care, q, _BIG))
         qhi = jnp.max(jnp.where(care, q, -1))
@@ -180,7 +185,8 @@ def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
         )
         for t in range(tg):
             wk = w_ref[pl.ds(g_i * tg + t, 1), :, :].reshape(c, co)
-            gt = jax.lax.slice(g, (t * qb, 0), ((t + 1) * qb, c))
+            gt = (g if tg == 1
+                  else jax.lax.slice(g, (t * qb, 0), ((t + 1) * qb, c)))
             acc = acc + jnp.dot(gt.astype(dot_dtype), wk.astype(dot_dtype),
                                 preferred_element_type=jnp.float32)
         return acc
@@ -211,30 +217,48 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
     _, K, Q = qkeys.shape
     Co = weight.shape[-1]
     out_dtype = features.dtype
-    if sb is None:
-        sb = SB_BYKEY
-    if tg is None:
-        # taps per window loop: one z-plane (9) when it fits. The scoped
-        # VMEM budget is ~16 MB; residents are the feature block, the
-        # weight block and the key rows, transients the (tg*qb, sb)
-        # one-hot + (tg*qb, C) accumulator + (sb, C) window (lane dims
-        # pad to 128). Shrink tg until resident + transient fits — the
-        # 256-channel training convs OOM at tg=9.
-        cp = max(C, 128)
-        cop = max(Co, 128)
-        resident = 4 * (V * cp + K * C * cop + K * Q + 2 * V + 256)
-        # 12 MB of the 16 MB scoped limit: the model under-counts
-        # pipelining/double-buffer copies by ~2 MB (measured: a tg=3
-        # 256-ch conv estimated at 14.6 MB actually allocates 16.7 MB)
-        budget = 12 * 1024 * 1024
-        tg = 1
-        for cand in (9, 3):
-            if K % cand:
-                continue
-            transient = 4 * (cand * qb * sb + cand * qb * cp + sb * cp)
-            if resident + transient <= budget:
-                tg = cand
-                break
+    cp = max(C, 128)
+    cop = max(Co, 128)
+    budget = 15 * 1024 * 1024
+
+    def scoped_estimate(fb, sb_c, tg_c):
+        # Scoped-VMEM model, calibrated against a measured 16.20 MB
+        # allocation for the (V=4096, C=Co=256, K=27) conv at f32: the
+        # feature block is double-buffered (x2), the weight block
+        # resident once (fb bytes when pre-cast to bf16), transients are
+        # the (tg*qb, sb) one-hot + f32 (tg*qb, C) accumulator +
+        # (sb, C) window; lane dims pad to 128.
+        resident = (2 * V * cp * fb + K * C * cop * fb
+                    + 4 * (K * Q + 2 * V) + 1024)
+        transient = (tg_c * qb * sb_c * fb + tg_c * qb * cp * 4
+                     + sb_c * cp * fb)
+        return resident + transient
+
+    # the 12 MB feature-block rule (Waymo-scale caps) still forces bf16
+    if not bf16 and V * cp * 4 * 2 > 12 * 1024 * 1024:
+        _warn_forced_bf16(V, C)
+        bf16 = True
+    if tg is None or sb is None:
+        # (sb, tg) ladder: prefer the tuned (sb=512, tg=9) — one z-plane
+        # of taps per window loop — and degrade window size / tap group
+        # until the estimate fits. If NOTHING fits in f32 (the
+        # 256-channel training convs: 7 MB of f32 weights alone), force
+        # bf16 — with half-width features+weights even tg=9 fits.
+        ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
+                  (256, 1)]
+        cands = [(sb_c, tg_c) for sb_c, tg_c in ladder
+                 if (sb is None or sb_c == sb)
+                 and (tg is None or tg_c == tg) and K % tg_c == 0]
+        cands = cands or [(sb or 256, tg or 1)]
+        fb = 2 if bf16 else 4
+        pick = next((c for c in cands
+                     if scoped_estimate(fb, *c) <= budget), None)
+        if pick is None and not bf16:
+            _warn_forced_bf16(V, C)
+            bf16 = True
+            pick = next((c for c in cands
+                         if scoped_estimate(2, *c) <= budget), cands[-1])
+        sb, tg = pick if pick is not None else cands[-1]
 
     v_pad = -V % max(sb, ANCHOR_STRIDE)
     q_pad = -Q % qb
@@ -252,6 +276,7 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
     dot_dtype = jnp.bfloat16 if bf16 else jnp.float32
     if bf16:
         features = features.astype(jnp.bfloat16)
+        weight = weight.astype(jnp.bfloat16)  # halve the resident block
 
     anchors = skeys[:, ::ANCHOR_STRIDE]                    # (B, A)
     a_pad = -anchors.shape[1] % 128
