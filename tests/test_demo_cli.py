@@ -13,7 +13,7 @@ pytestmark = pytest.mark.slow
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_demo_cli(tmp_path, monkeypatch, capsys):
+def test_demo_cli(tmp_path, monkeypatch, capfd):
     root, _ = make_kitti_root(tmp_path, n_frames=2)
     cfg_path = write_mini_cfg(tmp_path, root)
 
@@ -40,7 +40,7 @@ def test_demo_cli(tmp_path, monkeypatch, capsys):
          "--data_path", str(scans), "--ext", ".bin"],
     )
     demo_cli.main()
-    err = capsys.readouterr().err
+    err = capfd.readouterr().err  # fd-level: logger handlers may hold a pre-capsys stderr
     assert "Total number of samples: \t2" in err
     assert err.count("detections") == 2
     assert "Demo done." in err
