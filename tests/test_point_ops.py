@@ -155,3 +155,51 @@ def test_three_nn_brute_force_oracle():
     d2 = np.sum((unknown[:, :, None] - known[:, None]) ** 2, -1)
     ref = np.sort(d2, axis=-1)[..., :3]
     np.testing.assert_allclose(np.array(dist) ** 2, ref, atol=1e-4)
+
+
+def test_fps_block_pruned_bitwise_vs_xla_oracle():
+    # interpret-mode check of the Morton-block-pruned kernel
+    # (fps_pallas.furthest_point_sample_block_pruned) against the XLA
+    # oracle — must be bitwise-equal, incl. first-max tie-breaking
+    from tsm_det_pointcloud_tpu.ops.fps_pallas import (
+        furthest_point_sample_block_pruned,
+    )
+    from tsm_det_pointcloud_tpu.ops.sampling import (
+        _furthest_point_sample_xla,
+    )
+
+    rng = np.random.RandomState(7)
+    for B, N, M in [(2, 2500, 256), (1, 4096, 1024)]:
+        xyz = rng.uniform(-40, 40, (B, N, 3)).astype(np.float32)
+        mask = rng.rand(B, N) > 0.1
+        mask[:, 0] = True
+        ref = np.asarray(
+            _furthest_point_sample_xla(jnp.asarray(xyz), M, jnp.asarray(mask))
+        )
+        got = np.asarray(
+            furthest_point_sample_block_pruned(
+                jnp.asarray(xyz), M, jnp.asarray(mask), interpret=True
+            )
+        )
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_fps_block_pruned_duplicate_points_ties():
+    # many exactly-duplicated points force max ties; the kernel must pick
+    # the minimum original index like jnp.argmax does
+    from tsm_det_pointcloud_tpu.ops.fps_pallas import (
+        furthest_point_sample_block_pruned,
+    )
+    from tsm_det_pointcloud_tpu.ops.sampling import (
+        _furthest_point_sample_xla,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.uniform(-10, 10, (1, 300, 3)).astype(np.float32)
+    xyz = np.concatenate([base, base[:, ::2], base[:, :100]], axis=1)
+    ref = np.asarray(_furthest_point_sample_xla(jnp.asarray(xyz), 128))
+    got = np.asarray(
+        furthest_point_sample_block_pruned(jnp.asarray(xyz), 128,
+                                           interpret=True)
+    )
+    np.testing.assert_array_equal(ref, got)

@@ -168,6 +168,232 @@ def furthest_point_sample_pallas(xyz, npoint, valid_mask=None, weights=None):
     return out[:, 0, :]
 
 
+# ---------------------------------------------------------------------------
+# Block-pruned FPS — exact, for large N (the Waymo 122,880-point hot path)
+# ---------------------------------------------------------------------------
+#
+# The lockstep kernel above sweeps the full (B, N) state ~10x per step; at
+# Waymo scale (N=122,880, M=16,384) that is ~960 vregs per sweep and FPS
+# becomes 61% of the eval forward (SURVEY.md §8b). This kernel exploits that
+# the running min-distance ONLY DECREASES: points are Morton-sorted into
+# spatially compact blocks of `_BS` and per-block maxima of the running
+# min-distance are kept in one lane vector. Selecting point j can only lower
+# mindist inside blocks with gap(bbox, j)^2 < block_max, so each step updates
+# just those blocks (a dynamic-trip-count loop) instead of all of them — the
+# pruning bound is sound, so the result is EXACT, not approximate.
+#
+# Bitwise parity with the XLA oracle (sampling._furthest_point_sample_xla,
+# itself the parity target for sampling_gpu.cu:101-180): d2 uses the same
+# association ((x)+(y))+(z) on the same f32 values, and ties at the max are
+# broken by MINIMUM ORIGINAL INDEX — per block the kernel tracks the smallest
+# original index attaining the block max, and across blocks it minimises
+# again, which equals jnp.argmax's first-max rule in the original order.
+
+_BS = 1024          # points per Morton block = one (8, 128) vreg
+_NBIG = np.int32(2 ** 30)
+
+
+def _fps_block_kernel(n_steps, nb, x_ref, y_ref, z_ref, oi_ref, init_ref,
+                      bbox_ref, seed_ref, out_ref, mind_ref):
+    """One batch row per program. Refs:
+      x/y/z_ref   (1, NB, 8, 128) f32   Morton-sorted coords (pad rows = 0)
+      oi_ref      (1, NB, 8, 128) i32   original indices (pad rows = _NBIG)
+      init_ref    (1, NB, 8, 128) f32   initial mindist (1e10 valid / -1)
+      bbox_ref    (1, 8, NBL) f32       rows 0-5 lox,hix,loy,hiy,loz,hiz;
+                                        row 6 initial block max; row 7 the
+                                        initial per-block min orig idx (f32)
+      seed_ref    (1, 8, 128) f32       rows 0-2 = coords of orig point 0,
+                                        replicated over lanes
+      out_ref     (1, MB, 8, 128) i32   selected orig indices, 1024/row-group
+      mind_ref    (NB, 8, 128) f32      scratch: running min-distance
+    """
+    nbl = bbox_ref.shape[2]
+    mind_ref[...] = init_ref[0]
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lox = bbox_ref[0, 0:1, :]
+    hix = bbox_ref[0, 1:2, :]
+    loy = bbox_ref[0, 2:3, :]
+    hiy = bbox_ref[0, 3:4, :]
+    loz = bbox_ref[0, 4:5, :]
+    hiz = bbox_ref[0, 5:6, :]
+    bm0 = bbox_ref[0, 6:7, :]
+    barg0 = bbox_ref[0, 7:8, :].astype(jnp.int32)
+
+    # Latency note: vector->scalar reductions pay an SREG sync (~100
+    # cycles). Everything used only in later VECTOR ops (selected coords,
+    # block maxima, the winning orig index) therefore stays a (1, 1)
+    # vreg via keepdims; only the dynamic block indices (`find`, `wb`)
+    # are true scalars. This halves the per-step critical path.
+    def r11(a):
+        return a.reshape(1, -1).max(axis=1, keepdims=True)
+
+    xj0 = r11(seed_ref[0, 0:1, :])
+    yj0 = r11(seed_ref[0, 1:2, :])
+    zj0 = r11(seed_ref[0, 2:3, :])
+
+    def step(i, carry):
+        bm, barg, outbuf, xj, yj, zj = carry
+        gx = jnp.maximum(jnp.maximum(lox - xj, xj - hix), 0.0)
+        gy = jnp.maximum(jnp.maximum(loy - yj, yj - hiy), 0.0)
+        gz = jnp.maximum(jnp.maximum(loz - zj, zj - hiz), 0.0)
+        g2 = gx * gx + gy * gy + gz * gz
+        act = g2 < bm                                   # (1, nbl) bool
+
+        def find(cur):
+            return jnp.min(jnp.where(act & (lanes >= cur), lanes, nb))
+
+        def upd(st):
+            g, bm, barg = st
+            xs = x_ref[0, g]
+            ys = y_ref[0, g]
+            zs = z_ref[0, g]
+            d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
+            m2 = jnp.minimum(mind_ref[g], d2)           # -1 stays pinned
+            mind_ref[g] = m2
+            bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
+            tie = jnp.min(
+                jnp.where(m2 == bmax, oi_ref[0, g], _NBIG).reshape(1, -1),
+                axis=1, keepdims=True,
+            )
+            bm = jnp.where(lanes == g, bmax, bm)
+            barg = jnp.where(lanes == g, tie, barg)
+            return find(g + 1), bm, barg
+
+        _, bm, barg = jax.lax.while_loop(
+            lambda st: st[0] < nb, upd, (find(0), bm, barg)
+        )
+
+        kmax = jnp.max(bm, axis=1, keepdims=True)       # (1, 1)
+        hitb = bm == kmax
+        nxt = jnp.min(jnp.where(hitb, barg, _NBIG), axis=1,
+                      keepdims=True)                    # (1, 1) orig idx
+        wb = jnp.min(jnp.where(hitb & (barg == nxt), lanes, nb))
+        selm = oi_ref[0, wb] == nxt
+        one = jnp.float32(0.0)
+        xj = jnp.max(jnp.where(selm, x_ref[0, wb], -jnp.inf).reshape(1, -1),
+                     axis=1, keepdims=True) + one
+        yj = jnp.max(jnp.where(selm, y_ref[0, wb], -jnp.inf).reshape(1, -1),
+                     axis=1, keepdims=True) + one
+        zj = jnp.max(jnp.where(selm, z_ref[0, wb], -jnp.inf).reshape(1, -1),
+                     axis=1, keepdims=True) + one
+
+        w = i % 1024
+        outbuf = jnp.where(
+            (sub_i == w // 128) & (lane_i == w % 128), nxt, outbuf
+        )
+
+        @pl.when(w == 1023)
+        def _():
+            out_ref[0, i // 1024] = outbuf
+
+        return bm, barg, outbuf, xj, yj, zj
+
+    carry = (bm0, barg0, jnp.zeros((8, 128), jnp.int32), xj0, yj0, zj0)
+    jax.lax.fori_loop(1, n_steps, step, carry)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "cell", "interpret")
+)
+def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
+                                       cell=1.0, interpret=False):
+    """Exact d-fps via Morton-block pruning: (B, N, 3) -> (B, npoint) i32.
+    Bitwise-equal to sampling._furthest_point_sample_xla; intended for
+    N >= ~64k where the lockstep kernel's full sweeps dominate."""
+    xyz = jax.lax.stop_gradient(xyz)
+    B, N, _ = xyz.shape
+    valid = (jnp.ones((B, N), bool) if valid_mask is None
+             else valid_mask.astype(bool))
+
+    # Morton sort (invalid rows to the end), carrying coords + orig index.
+    from .group_pallas import morton_code
+
+    vxyz = jnp.where(valid[..., None], xyz, 1e30)
+    origin = jnp.min(vxyz, axis=1, keepdims=True)
+    code = jnp.where(valid, morton_code(vxyz, origin, cell=cell),
+                     np.int32(2 ** 31 - 1))
+    oi = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    _, xs, ys, zs, ois, vs = jax.lax.sort(
+        (code, xyz[..., 0], xyz[..., 1], xyz[..., 2], oi,
+         valid.astype(jnp.int32)),
+        dimension=1, num_keys=1,
+    )
+
+    nb = -(-N // _BS)
+    pad = nb * _BS - N
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, pad)))
+        ys = jnp.pad(ys, ((0, 0), (0, pad)))
+        zs = jnp.pad(zs, ((0, 0), (0, pad)))
+        ois = jnp.pad(ois, ((0, 0), (0, pad)), constant_values=_NBIG)
+        vs = jnp.pad(vs, ((0, 0), (0, pad)))
+    vb = vs.astype(bool).reshape(B, nb, _BS)
+    init = jnp.where(vb, 1e10, -1.0).astype(jnp.float32)
+
+    def blk(a):
+        return a.reshape(B, nb, 8, 128)
+
+    def bounds(a):
+        ab = a.reshape(B, nb, _BS)
+        lo = jnp.min(jnp.where(vb, ab, 1e30), axis=2)
+        hi = jnp.max(jnp.where(vb, ab, -1e30), axis=2)
+        return lo, hi
+
+    lox, hix = bounds(xs)
+    loy, hiy = bounds(ys)
+    loz, hiz = bounds(zs)
+    anyv = jnp.any(vb, axis=2)
+    bm0 = jnp.where(anyv, 1e10, -1.0)
+    barg0 = jnp.min(
+        jnp.where(vb, ois.reshape(B, nb, _BS), _NBIG), axis=2
+    ).astype(jnp.float32)                       # < 2^24, exact in f32
+    bbox = jnp.stack([lox, hix, loy, hiy, loz, hiz, bm0, barg0], axis=1)
+    nbl = -(-nb // 128) * 128
+    bbox = jnp.pad(bbox, ((0, 0), (0, 0), (0, nbl - nb)),
+                   constant_values=1e30)
+    # pad lanes must never be active or win: block max -1, huge bbox
+    pad_lane = jnp.arange(nbl) >= nb
+    bbox = bbox.at[:, 6, :].set(jnp.where(pad_lane, -1.0, bbox[:, 6, :]))
+    bbox = bbox.at[:, 7, :].set(
+        jnp.where(pad_lane, jnp.float32(_NBIG), bbox[:, 7, :]))
+
+    seed = jnp.broadcast_to(xyz[:, 0, :, None], (B, 3, 128))
+    seed = jnp.pad(seed, ((0, 0), (0, 5), (0, 0)))
+
+    mp = -(-npoint // 1024) * 1024
+    mb = mp // 1024
+    kernel = functools.partial(_fps_block_kernel, mp, nb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nbl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, mb, 8, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, mb, 8, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nb, 8, 128), jnp.float32)],
+        interpret=interpret,
+    )(blk(xs), blk(ys), blk(zs), blk(ois), blk(init), bbox, seed)
+    return out.reshape(B, mp)[:, :npoint]
+
+
 def tpu_available():
     try:
         return jax.devices()[0].platform == "tpu"

@@ -50,6 +50,16 @@ def furthest_point_sample(xyz, npoint, valid_mask=None):
     On TPU dispatches to the VMEM-resident Pallas kernel (fps_pallas.py);
     the XLA fori_loop below is the CPU/test oracle (identical numerics)."""
     if jax.default_backend() == "tpu":
+        N = xyz.shape[1]
+        if N >= 65536:
+            # at Waymo scale the lockstep kernel's full (B, N) sweeps
+            # dominate (61% of the eval forward, SURVEY.md §8b); the
+            # Morton-block-pruned kernel is exact and ~4.5x faster there
+            from .fps_pallas import furthest_point_sample_block_pruned
+
+            return furthest_point_sample_block_pruned(
+                xyz, npoint, valid_mask
+            )
         from .fps_pallas import furthest_point_sample_pallas
 
         return furthest_point_sample_pallas(xyz, npoint, valid_mask)
