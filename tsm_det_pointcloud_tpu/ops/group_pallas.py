@@ -59,6 +59,11 @@ KC = 4     # k-slots per one-hot matmul chunk (VMEM transient ~ KC*QB*SB)
 FP = 1024.0  # xyz fixed-point scale (1/FP metres)
 SROW_OC = 4  # output channel of the (virtual) sorted-row id
 
+# Gather int channels via base-256-digit one-hot MXU matmuls instead of
+# per-channel VPU lane-reduces (exact either way; the matmul replaces
+# 4-6 full-width reduces per slot chunk). Kill switch for A/B testing.
+MXU_GATHER = not bool(__import__("os").environ.get("TSM_NO_MXU_GATHER"))
+
 
 def morton_code(xyz, origin, cell=1.0, bits=10):
     """(..., 3) f32 -> int32 Morton codes on a `cell`-metre grid. Spatially
@@ -79,7 +84,7 @@ def morton_code(xyz, origin, cell=1.0, bits=10):
 
 def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
             max_r2, min_r2, qr, use_window, qb, sb, kc, gather_chs,
-            need_srow):
+            need_srow, mxu_gather):
     if len(refs) == 4:
         pf_ref, outf_ref, outi_ref, cnt_ref = refs
         outf_ref[0, 0] = jnp.zeros_like(outf_ref[0, 0])
@@ -131,6 +136,29 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
 
         fwin = (None if pf_ref is None
                 else pf_ref[0, pl.ds(st, sb), :])
+        digT = None
+        if mxu_gather:
+            # ---- exact int gather on the MXU ----
+            # All int channels (xyz fp, orig row, srow, bitcast feats)
+            # are split into four base-256 digits of their raw bit
+            # pattern. Digits (<= 255) are exact in bf16, one-hot rows
+            # have a single nonzero product, and f32 accumulation of one
+            # term is exact — so ONE (KC*QB, SB) x (SB, 4*nch) matmul
+            # replaces 4-6 full-width VPU lane-reduces per slot chunk.
+            # Recombination is pure int32 shift-adds (<< 24 wraps into
+            # the sign bit, restoring negatives bit-for-bit).
+            chans = [pi_ref[0, ch:ch + 1, pl.ds(st, sb)]
+                     for _, ch in gather_chs]
+            if need_srow:
+                chans.append(st + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, sb), 1))
+            iw = jnp.concatenate(chans, 0)              # (nch, SB) i32
+            digs = []
+            for k in range(4):
+                digs.append(jax.lax.shift_right_logical(
+                    iw, np.int32(8 * k)) & 255)
+            dig = jnp.concatenate(digs, 0).astype(jnp.bfloat16)
+            digT = dig.T                                # (SB, 4*nch)
         for kci in range(ns // kc):
             @pl.when(mslot >= kci * kc)
             def _(kci=kci):
@@ -143,32 +171,57 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
                 )
                 oh = (sl_t == jrow) & hit_t
                 rows = pl.ds(kci * kc * qb, kc * qb)
+                ohf = None
+                if fwin is not None or mxu_gather:
+                    ohf = oh.astype(jnp.bfloat16)
                 if fwin is not None:
                     # features: one-hot matmul on the MXU (bf16)
-                    ohf = oh.astype(jnp.bfloat16)
                     add = jnp.dot(ohf, fwin,
                                   preferred_element_type=jnp.float32)
                     outf_ref[0, 0, rows, :] += add
-                # xyz fixed-point, original row, small-C features
-                # (bitcast): exact int32 reduces. Each (q, slot) receives
-                # exactly one source, so the sum is a select and bitcast
-                # payloads survive bit-for-bit.
-                ohi = oh.astype(jnp.int32)
-                for oc, ch in gather_chs:
-                    v = pi_ref[0, ch:ch + 1, pl.ds(st, sb)]  # (1, SB)
-                    outi_ref[0, 0, rows, oc:oc + 1] += jnp.sum(
-                        ohi * v, axis=1, keepdims=True
-                    )
-                if need_srow:
-                    # sorted row = st + lane index (virtual channel — not
-                    # worth a resident payload row); goes to slot SROW_OC.
-                    # Only the VJP needs it (backward scatter target);
-                    # the eval/primal path skips the reduce entirely.
-                    vs = st + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, sb), 1)
-                    outi_ref[0, 0, rows, SROW_OC:SROW_OC + 1] += jnp.sum(
-                        ohi * vs, axis=1, keepdims=True
-                    )
+                if mxu_gather:
+                    nch = len(gather_chs) + (1 if need_srow else 0)
+                    r = jnp.dot(ohf, digT,
+                                preferred_element_type=jnp.float32)
+                    ri = r.astype(jnp.int32)            # (KC*QB, 4*nch)
+                    val = ri[:, 0:nch]
+                    for k in range(1, 4):
+                        val = val + (ri[:, k * nch:(k + 1) * nch]
+                                     << np.int32(8 * k))
+                    ocs = [oc for oc, _ in gather_chs]
+                    if need_srow:
+                        ocs.append(SROW_OC)
+                    no8 = outi_ref.shape[-1]
+                    cols = []
+                    for oc in range(no8):
+                        if oc in ocs:
+                            c = ocs.index(oc)
+                            cols.append(val[:, c:c + 1])
+                        else:
+                            cols.append(jnp.zeros((kc * qb, 1), jnp.int32))
+                    outi_ref[0, 0, rows, :] += jnp.concatenate(cols, 1)
+                else:
+                    # xyz fixed-point, original row, small-C features
+                    # (bitcast): exact int32 reduces. Each (q, slot)
+                    # receives exactly one source, so the sum is a select
+                    # and bitcast payloads survive bit-for-bit.
+                    ohi = oh.astype(jnp.int32)
+                    for oc, ch in gather_chs:
+                        v = pi_ref[0, ch:ch + 1, pl.ds(st, sb)]  # (1, SB)
+                        outi_ref[0, 0, rows, oc:oc + 1] += jnp.sum(
+                            ohi * v, axis=1, keepdims=True
+                        )
+                    if need_srow:
+                        # sorted row = st + lane index (virtual channel —
+                        # not worth a resident payload row); goes to slot
+                        # SROW_OC. Only the VJP needs it (backward scatter
+                        # target); the eval/primal path skips the reduce.
+                        vs = st + jax.lax.broadcasted_iota(
+                            jnp.int32, (1, sb), 1)
+                        outi_ref[0, 0, rows,
+                                 SROW_OC:SROW_OC + 1] += jnp.sum(
+                            ohi * vs, axis=1, keepdims=True
+                        )
         return 0
 
     # dynamic trip count: Mosaic rejects scf.for with non-constant bounds
@@ -284,6 +337,7 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
             _kernel, ns=ns, n_sb=n_sb, max_r2=max_r2, min_r2=min_r2,
             qr=qr, use_window=use_window, qb=QB, sb=sb, kc=kc,
             gather_chs=gather_chs, need_srow=need_srow,
+            mxu_gather=MXU_GATHER,
         ),
         grid=(B, nq),
         in_specs=in_specs,
