@@ -193,11 +193,16 @@ _BS = 1024          # points per Morton block = one (8, 128) vreg
 _NBIG = np.int32(2 ** 30)
 
 
-def _fps_block_kernel(n_steps, nb, x_ref, y_ref, z_ref, oi_ref, init_ref,
+def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
                       bbox_ref, seed_ref, out_ref, mind_ref):
     """One batch row per program. Refs:
-      x/y/z_ref   (1, NB, 8, 128) f32   Morton-sorted coords (pad rows = 0)
-      oi_ref      (1, NB, 8, 128) i32   original indices (pad rows = _NBIG)
+      pk_ref      (1, NB, 32, 128) f32  Morton-sorted blocks, packed as four
+                                        8-sublane groups: x, y, z, orig index
+                                        as f32 (exact: idx < 2^24; pad rows
+                                        x/y/z = 0, idx = _NBIG = 2^30, a
+                                        power of two so also f32-exact). ONE
+                                        dynamic load per block visit replaces
+                                        the previous four (x/y/z/oi refs).
       init_ref    (1, NB, 8, 128) f32   initial mindist (1e10 valid / -1)
       bbox_ref    (1, 8, NBL) f32       rows 0-5 lox,hix,loy,hiy,loz,hiz;
                                         row 6 initial block max; row 7 the
@@ -206,6 +211,10 @@ def _fps_block_kernel(n_steps, nb, x_ref, y_ref, z_ref, oi_ref, init_ref,
                                         replicated over lanes
       out_ref     (1, MB, 8, 128) i32   selected orig indices, 1024/row-group
       mind_ref    (NB, 8, 128) f32      scratch: running min-distance
+
+    Tie-breaking stays MINIMUM ORIGINAL INDEX, now as f32 min over the
+    packed index group — for non-negative f32-exact ints, float min equals
+    integer min, so bitwise parity with the XLA oracle is preserved.
     """
     nbl = bbox_ref.shape[2]
     mind_ref[...] = init_ref[0]
@@ -220,7 +229,8 @@ def _fps_block_kernel(n_steps, nb, x_ref, y_ref, z_ref, oi_ref, init_ref,
     loz = bbox_ref[0, 4:5, :]
     hiz = bbox_ref[0, 5:6, :]
     bm0 = bbox_ref[0, 6:7, :]
-    barg0 = bbox_ref[0, 7:8, :].astype(jnp.int32)
+    barg0 = bbox_ref[0, 7:8, :]
+    nbigf = jnp.float32(_NBIG)
 
     # Latency note: vector->scalar reductions pay an SREG sync (~100
     # cycles). Everything used only in later VECTOR ops (selected coords,
@@ -247,15 +257,16 @@ def _fps_block_kernel(n_steps, nb, x_ref, y_ref, z_ref, oi_ref, init_ref,
 
         def upd(st):
             g, bm, barg = st
-            xs = x_ref[0, g]
-            ys = y_ref[0, g]
-            zs = z_ref[0, g]
+            pk = pk_ref[0, g]                           # (32, 128)
+            xs = pk[0:8]
+            ys = pk[8:16]
+            zs = pk[16:24]
             d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
             m2 = jnp.minimum(mind_ref[g], d2)           # -1 stays pinned
             mind_ref[g] = m2
             bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
             tie = jnp.min(
-                jnp.where(m2 == bmax, oi_ref[0, g], _NBIG).reshape(1, -1),
+                jnp.where(m2 == bmax, pk[24:32], nbigf).reshape(1, -1),
                 axis=1, keepdims=True,
             )
             bm = jnp.where(lanes == g, bmax, bm)
@@ -268,21 +279,24 @@ def _fps_block_kernel(n_steps, nb, x_ref, y_ref, z_ref, oi_ref, init_ref,
 
         kmax = jnp.max(bm, axis=1, keepdims=True)       # (1, 1)
         hitb = bm == kmax
-        nxt = jnp.min(jnp.where(hitb, barg, _NBIG), axis=1,
-                      keepdims=True)                    # (1, 1) orig idx
+        nxt = jnp.min(jnp.where(hitb, barg, nbigf), axis=1,
+                      keepdims=True)                    # (1, 1) orig idx f32
         wb = jnp.min(jnp.where(hitb & (barg == nxt), lanes, nb))
-        selm = oi_ref[0, wb] == nxt
-        one = jnp.float32(0.0)
-        xj = jnp.max(jnp.where(selm, x_ref[0, wb], -jnp.inf).reshape(1, -1),
-                     axis=1, keepdims=True) + one
-        yj = jnp.max(jnp.where(selm, y_ref[0, wb], -jnp.inf).reshape(1, -1),
-                     axis=1, keepdims=True) + one
-        zj = jnp.max(jnp.where(selm, z_ref[0, wb], -jnp.inf).reshape(1, -1),
-                     axis=1, keepdims=True) + one
+        pk = pk_ref[0, wb]                              # (32, 128)
+        selm = pk[24:32] == nxt
+        sel3 = jnp.concatenate([selm, selm, selm], axis=0)   # (24, 128)
+        # one cross-lane reduce for all three coords, then cheap
+        # sublane-group maxima
+        lr = jnp.max(jnp.where(sel3, pk[0:24], -jnp.inf),
+                     axis=1, keepdims=True)             # (24, 1)
+        xj = jnp.max(lr[0:8], axis=0, keepdims=True)
+        yj = jnp.max(lr[8:16], axis=0, keepdims=True)
+        zj = jnp.max(lr[16:24], axis=0, keepdims=True)
 
         w = i % 1024
         outbuf = jnp.where(
-            (sub_i == w // 128) & (lane_i == w % 128), nxt, outbuf
+            (sub_i == w // 128) & (lane_i == w % 128),
+            nxt.astype(jnp.int32), outbuf
         )
 
         @pl.when(w == 1023)
@@ -365,18 +379,15 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
 
     mp = -(-npoint // 1024) * 1024
     mb = mp // 1024
+    packed = jnp.concatenate(
+        [blk(xs), blk(ys), blk(zs), blk(ois.astype(jnp.float32))], axis=2
+    )                                           # (B, nb, 32, 128)
     kernel = functools.partial(_fps_block_kernel, mp, nb)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, nb, 32, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -390,7 +401,7 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
         out_shape=jax.ShapeDtypeStruct((B, mb, 8, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((nb, 8, 128), jnp.float32)],
         interpret=interpret,
-    )(blk(xs), blk(ys), blk(zs), blk(ois), blk(init), bbox, seed)
+    )(packed, blk(init), bbox, seed)
     return out.reshape(B, mp)[:, :npoint]
 
 
