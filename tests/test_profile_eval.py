@@ -16,13 +16,28 @@ def _write_trace(path, events):
 
 
 def test_device_lane_selection(tmp_path):
-    """TPU traces: only /device:TPU pids count; generated .N suffixes
-    aggregate; metadata and host lanes are ignored."""
+    """TPU traces: only the per-op "XLA Ops" lane counts — the "XLA
+    Modules" lane spans whole executions and would double-count every op;
+    generated .N suffixes aggregate; metadata and host lanes are ignored;
+    only the NEWEST trace file is read (stale runs under the same --out
+    must not mix in)."""
+    stale = [
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 10,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 1, "tid": 10, "name": "stale_op", "dur": 777.0},
+    ]
+    _write_trace(tmp_path / "old" / "w.trace.json.gz", stale)
     events = [
         {"ph": "M", "name": "process_name", "pid": 1,
          "args": {"name": "/device:TPU:0"}},
         {"ph": "M", "name": "process_name", "pid": 2,
          "args": {"name": "/host:CPU"}},
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 9,
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "name": "thread_name", "pid": 1, "tid": 10,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 1, "tid": 9, "name": "jit_infer(123)",
+         "dur": 175.0},
         {"ph": "X", "pid": 1, "tid": 10, "name": "fusion.1", "dur": 100.0},
         {"ph": "X", "pid": 1, "tid": 10, "name": "fusion.2", "dur": 50.0},
         {"ph": "X", "pid": 1, "tid": 10, "name": "sort.3", "dur": 25.0},
@@ -33,6 +48,8 @@ def test_device_lane_selection(tmp_path):
     assert by_op["fusion"] == 150.0
     assert by_op["sort"] == 25.0
     assert "hostwork" not in by_op
+    assert "jit_infer(123)" not in by_op
+    assert "stale_op" not in by_op
     assert total == 175.0
 
 

@@ -47,52 +47,48 @@ _GEN = re.compile(r"\.\d+$")
 
 
 def aggregate_trace(trace_dir):
-    """Sum device-lane event durations by (cleaned) op name from every
+    """Sum op-lane event durations by (cleaned) op name from the NEWEST
     perfetto trace under `trace_dir`. Returns {name: total_us} and the
-    total device-lane time."""
+    total op-lane time.
+
+    Only the per-op lane is summed ("XLA Ops" on TPU, XLAEigen codegen
+    threads on the CPU backend). A TPU trace also carries an "XLA Modules"
+    lane whose events span whole executions; summing both lanes (as an
+    earlier version of this tool did) double-counts every op and surfaces
+    bogus jit_<fn>(hash) rows. Likewise, only the newest trace file is
+    read: --out accumulates a new plugins/profile/<ts>/ dir per run, so a
+    recursive sum over all of them mixes in stale runs."""
     paths = glob.glob(
         str(pathlib.Path(trace_dir) / "**" / "*.trace.json.gz"),
         recursive=True,
     )
     if not paths:
         raise FileNotFoundError(f"no *.trace.json.gz under {trace_dir}")
+    p = max(paths, key=lambda q: pathlib.Path(q).stat().st_mtime)
+    with gzip.open(p, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    tid_lanes = set()
+    for ev in events:
+        if ev.get("ph") != "M" or ev.get("name") != "thread_name":
+            continue
+        nm = ev.get("args", {}).get("name", "")
+        if nm == "XLA Ops" or re.search(r"XLAEigen", nm):
+            tid_lanes.add((ev["pid"], ev["tid"]))
     by_op = collections.Counter()
     total = 0.0
-    for p in paths:
-        with gzip.open(p, "rt") as f:
-            data = json.load(f)
-        events = data.get("traceEvents", [])
-        # device lanes: processes named /device:TPU... on hardware. On the
-        # CPU backend everything sits under /host:CPU and the XLA op
-        # events run on tf_xla-cpu-codegen threads — select those tids.
-        pid_device, tid_lanes = set(), set()
-        for ev in events:
-            if ev.get("ph") != "M":
-                continue
-            nm = ev.get("args", {}).get("name", "")
-            if ev.get("name") == "process_name" and re.search(
-                r"/device|TPU", nm, re.I
-            ):
-                pid_device.add(ev["pid"])
-            if ev.get("name") == "thread_name" and re.search(
-                r"XLAEigen", nm
-            ):
-                tid_lanes.add((ev["pid"], ev["tid"]))
-        for ev in events:
-            if ev.get("ph") != "X":
-                continue
-            if pid_device:
-                if ev.get("pid") not in pid_device:
-                    continue
-            elif (ev.get("pid"), ev.get("tid")) not in tid_lanes:
-                continue
-            name = ev.get("name", "?")
-            # Eigen lanes carry paired begin/"end: x" markers + infra rows
-            if name.startswith(("end: ", "ThunkExecutor", "Threadpool")):
-                continue
-            dur = float(ev.get("dur", 0.0))
-            by_op[_GEN.sub("", name)] += dur
-            total += dur
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        if (ev.get("pid"), ev.get("tid")) not in tid_lanes:
+            continue
+        name = ev.get("name", "?")
+        # Eigen lanes carry paired begin/"end: x" markers + infra rows
+        if name.startswith(("end: ", "ThunkExecutor", "Threadpool")):
+            continue
+        dur = float(ev.get("dur", 0.0))
+        by_op[_GEN.sub("", name)] += dur
+        total += dur
     return by_op, max(total, 1e-9)
 
 
