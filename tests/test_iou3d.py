@@ -136,3 +136,96 @@ def test_nms_large_random_matches_reference_impl():
     keep_idx, cnt, _ = nms_bev(jnp.array(boxes), jnp.array(scores), thresh=0.3)
     got = sorted(np.array(keep_idx[: int(cnt)]).tolist())
     assert got == sorted(keep_ref)
+
+
+# ---------------------------------------------------------------------------
+# shared-suppression-matrix NMS (multi_thresh's hoisted-geometry path)
+# ---------------------------------------------------------------------------
+
+def _random_boxes(n, seed=0):
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-20, 20, (n, 2))
+    boxes[:, 3:5] = rng.uniform(1, 4, (n, 2))
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return boxes, rng
+
+
+@pytest.mark.parametrize("pre,post", [(4096, 512), (64, 16), (200, 8)])
+def test_nms_from_matrix_matches_nms_bev(pre, post):
+    """nms_from_matrix on suppression_matrix must reproduce nms_bev exactly
+    (same idx/count/scores) including pre-truncation and -inf gatings."""
+    from tsm_det_pointcloud_tpu.ops.iou3d import (
+        nms_from_matrix,
+        suppression_matrix,
+    )
+
+    boxes, rng = _random_boxes(200, seed=1)
+    scores = rng.uniform(0, 1, 200).astype(np.float32)
+    scores[rng.uniform(size=200) < 0.3] = -np.inf  # gated entries
+
+    ref_idx, ref_cnt, ref_sc = nms_bev(
+        jnp.array(boxes), jnp.array(scores), thresh=0.3,
+        pre_maxsize=pre, post_maxsize=post,
+    )
+    s_mat = suppression_matrix(jnp.array(boxes), 0.3, rotated=True)
+    got_idx, got_cnt, got_sc = nms_from_matrix(
+        s_mat, jnp.array(scores), pre_maxsize=pre, post_maxsize=post,
+    )
+    assert int(got_cnt) == int(ref_cnt)
+    c = int(ref_cnt)
+    np.testing.assert_array_equal(
+        np.asarray(got_idx)[:c], np.asarray(ref_idx)[:c]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_sc)[:c], np.asarray(ref_sc)[:c], rtol=0, atol=0
+    )
+
+
+def test_multi_thresh_shared_matrix_matches_per_pass_composition():
+    """The shared-matrix multi_thresh path must equal the original
+    per-pass nms_bev composition (per-class NMS -> keep-index scatter ->
+    global NMS) bit for bit, including the per-class post_maxsize cap."""
+    from tsm_det_pointcloud_tpu.models.model_utils.model_nms_utils import (
+        multi_thresh_nms,
+    )
+
+    boxes, rng = _random_boxes(300, seed=2)
+    scores = rng.uniform(0, 1, 300).astype(np.float32)
+    labels = rng.randint(1, 4, 300).astype(np.int32)
+    cfg = {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.3,
+           "NMS_PRE_MAXSIZE": 4096, "NMS_POST_MAXSIZE": 16}
+    thresh_list = [0.5, 0.2, 0.35]
+
+    # original composition (the pre-shared-matrix implementation)
+    t = jnp.asarray(thresh_list)[jnp.clip(jnp.asarray(labels) - 1, 0, 2)]
+    gated = jnp.where(jnp.asarray(scores) >= t, jnp.asarray(scores),
+                      -jnp.inf)
+    kept_mask = jnp.zeros_like(gated, bool)
+    for c in range(1, 4):
+        cls_gated = jnp.where(jnp.asarray(labels) == c, gated, -jnp.inf)
+        idx, cnt, _ = nms_bev(
+            jnp.array(boxes), cls_gated, thresh=0.3,
+            pre_maxsize=4096, post_maxsize=16,
+        )
+        slot_ok = jnp.arange(idx.shape[0]) < cnt
+        kept_mask = kept_mask.at[idx].set(slot_ok | kept_mask[idx])
+    survivors = jnp.where(kept_mask, gated, -jnp.inf)
+    ref_idx, ref_cnt, ref_sc = nms_bev(
+        jnp.array(boxes), survivors, thresh=0.3,
+        pre_maxsize=4096, post_maxsize=16,
+    )
+
+    got_idx, got_cnt, got_sc = multi_thresh_nms(
+        jnp.asarray(scores), jnp.array(boxes), jnp.asarray(labels),
+        cfg, thresh_list,
+    )
+    assert int(got_cnt) == int(ref_cnt)
+    c = int(ref_cnt)
+    np.testing.assert_array_equal(
+        np.asarray(got_idx)[:c], np.asarray(ref_idx)[:c]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_sc)[:c], np.asarray(ref_sc)[:c], rtol=0, atol=0
+    )

