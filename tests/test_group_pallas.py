@@ -178,3 +178,48 @@ def test_blocked_layout_matches_unblocked(data):
     vb = jnp.take_along_axis(
         qs["valid_b"].reshape(B, -1)[:, :Q], inv, axis=1)
     assert np.array_equal(np.asarray(vb), qvalid)
+
+
+def test_saturated_neighborhoods_exact_cnt_and_first_k():
+    """Counts far above nsample across several Morton source blocks: the
+    saturation gate (skip cumsum/chunks once every hit query's prior >=
+    ns) must not change the exact uncapped cnt, the first-k selection, or
+    zero-padding. Mixed blocks (one saturated query, one sparse) keep
+    gathering for the sparse one."""
+    rng = np.random.default_rng(7)
+    B, C, ns = 1, 3, 8
+    # dense cluster: ~1800 points inside a 2 m ball -> cnt >> ns, spread
+    # over 3+ source blocks of 512
+    dense = rng.uniform(-1, 1, (1800, 3)).astype(np.float32)
+    # sparse far-away region with a handful of points
+    sparse = (rng.uniform(-1, 1, (40, 3)) + 60.0).astype(np.float32)
+    sxyz = np.concatenate([dense, sparse])[None]          # (1, 1840, 3)
+    N = sxyz.shape[1]
+    sfeat = rng.standard_normal((B, N, C)).astype(np.float32)
+    svalid = np.ones((B, N), bool)
+    qxyz = np.asarray([[[0.0, 0.0, 0.0],                  # saturated
+                        [60.0, 60.0, 60.0],               # sparse
+                        [30.0, -30.0, 0.0]]], np.float32)  # empty
+    qvalid = np.ones((B, 3), bool)
+
+    prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(sfeat),
+                              jnp.asarray(svalid))
+    g, i, c = gp.fused_query_group(
+        prep, jnp.asarray(qxyz), ns, 2.0, 0.0,
+        q_valid=jnp.asarray(qvalid), interpret=True)
+    g, i, c = map(np.asarray, (g, i, c))
+
+    sfp = np.round(sxyz[0] * 1024.0)
+    for qi in range(3):
+        qfp = np.round(qxyz[0, qi] * 1024.0)
+        d2 = ((sfp - qfp) ** 2).sum(-1)
+        true_rows = set(np.where(d2 < (2.0 * 1024.0) ** 2)[0])
+        assert c[0, qi] == len(true_rows)
+        k = min(c[0, qi], ns)
+        got = i[0, qi, :k]
+        assert len(set(got.tolist())) == k
+        assert set(got.tolist()) <= true_rows
+        assert np.allclose(g[0, qi, :k, :3], sxyz[0][got], atol=6e-4)
+        assert (g[0, qi, k:] == 0).all()
+    assert c[0, 0] > 40 * ns   # the saturated case really saturates
+    assert c[0, 2] == 0
