@@ -194,7 +194,7 @@ _NBIG = np.int32(2 ** 30)
 
 
 def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
-                      bbox_ref, seed_ref, out_ref, mind_ref):
+                      bbox_ref, seed_ref, wb0_ref, out_ref, mind_ref):
     """One batch row per program. Refs:
       pk_ref      (1, NB, 32, 128) f32  Morton-sorted blocks, packed as four
                                         8-sublane groups: x, y, z, orig index
@@ -244,33 +244,45 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
     yj0 = r11(seed_ref[0, 1:2, :])
     zj0 = r11(seed_ref[0, 2:3, :])
 
+    def _upd_block(g, xj, yj, zj, bm, barg):
+        pk = pk_ref[0, g]                               # (32, 128)
+        xs = pk[0:8]
+        ys = pk[8:16]
+        zs = pk[16:24]
+        d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
+        m2 = jnp.minimum(mind_ref[g], d2)               # -1 stays pinned
+        mind_ref[g] = m2
+        bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
+        tie = jnp.min(
+            jnp.where(m2 == bmax, pk[24:32], nbigf).reshape(1, -1),
+            axis=1, keepdims=True,
+        )
+        bm = jnp.where(lanes == g, bmax, bm)
+        barg = jnp.where(lanes == g, tie, barg)
+        return bm, barg
+
     def step(i, carry):
-        bm, barg, outbuf, xj, yj, zj = carry
+        bm, barg, outbuf, xj, yj, zj, wb = carry
+        # The just-picked point's own block is ALWAYS active (gap = 0
+        # there) and its index is a carried SCALAR — update it first
+        # with no `find` vector->scalar sync on the critical path, then
+        # exclude it from the residual active set. Most steps have no
+        # other active block, so this removes ~one sync + one dependent
+        # dynamic load per step.
+        bm, barg = _upd_block(wb, xj, yj, zj, bm, barg)
+
         gx = jnp.maximum(jnp.maximum(lox - xj, xj - hix), 0.0)
         gy = jnp.maximum(jnp.maximum(loy - yj, yj - hiy), 0.0)
         gz = jnp.maximum(jnp.maximum(loz - zj, zj - hiz), 0.0)
         g2 = gx * gx + gy * gy + gz * gz
-        act = g2 < bm                                   # (1, nbl) bool
+        act = (g2 < bm) & (lanes != wb)                 # (1, nbl) bool
 
         def find(cur):
             return jnp.min(jnp.where(act & (lanes >= cur), lanes, nb))
 
         def upd(st):
             g, bm, barg = st
-            pk = pk_ref[0, g]                           # (32, 128)
-            xs = pk[0:8]
-            ys = pk[8:16]
-            zs = pk[16:24]
-            d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
-            m2 = jnp.minimum(mind_ref[g], d2)           # -1 stays pinned
-            mind_ref[g] = m2
-            bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
-            tie = jnp.min(
-                jnp.where(m2 == bmax, pk[24:32], nbigf).reshape(1, -1),
-                axis=1, keepdims=True,
-            )
-            bm = jnp.where(lanes == g, bmax, bm)
-            barg = jnp.where(lanes == g, tie, barg)
+            bm, barg = _upd_block(g, xj, yj, zj, bm, barg)
             return find(g + 1), bm, barg
 
         _, bm, barg = jax.lax.while_loop(
@@ -303,9 +315,10 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
         def _():
             out_ref[0, i // 1024] = outbuf
 
-        return bm, barg, outbuf, xj, yj, zj
+        return bm, barg, outbuf, xj, yj, zj, jnp.minimum(wb, nb - 1)
 
-    carry = (bm0, barg0, jnp.zeros((8, 128), jnp.int32), xj0, yj0, zj0)
+    carry = (bm0, barg0, jnp.zeros((8, 128), jnp.int32), xj0, yj0, zj0,
+             jnp.minimum(wb0_ref[0, 0, 0], nb - 1))
     jax.lax.fori_loop(1, n_steps, step, carry)
 
 
@@ -376,6 +389,10 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
 
     seed = jnp.broadcast_to(xyz[:, 0, :, None], (B, 3, 128))
     seed = jnp.pad(seed, ((0, 0), (0, 5), (0, 0)))
+    # block (after the Morton sort) holding the seed point (orig idx 0) —
+    # the kernel's carried "just-picked block" scalar for step 1
+    wb0 = (jnp.argmax(ois == 0, axis=1).astype(jnp.int32)
+           // _BS)[:, None, None]                        # (B, 1, 1)
 
     mp = -(-npoint // 1024) * 1024
     mb = mp // 1024
@@ -395,13 +412,15 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, mb, 8, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, mb, 8, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((nb, 8, 128), jnp.float32)],
         interpret=interpret,
-    )(packed, blk(init), bbox, seed)
+    )(packed, blk(init), bbox, seed, wb0)
     return out.reshape(B, mp)[:, :npoint]
 
 
