@@ -194,7 +194,7 @@ _NBIG = np.int32(2 ** 30)
 
 
 def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
-                      bbox_ref, seed_ref, wb0_ref, out_ref, mind_ref):
+                      bbox_ref, wb0_ref, out_ref, mind_ref):
     """One batch row per program. Refs:
       pk_ref      (1, NB, 32, 128) f32  Morton-sorted blocks, packed as four
                                         8-sublane groups: x, y, z, orig index
@@ -207,8 +207,7 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
       bbox_ref    (1, 8, NBL) f32       rows 0-5 lox,hix,loy,hiy,loz,hiz;
                                         row 6 initial block max; row 7 the
                                         initial per-block min orig idx (f32)
-      seed_ref    (1, 8, 128) f32       rows 0-2 = coords of orig point 0,
-                                        replicated over lanes
+      wb0_ref     (1, 1, 1) i32 SMEM    block holding orig point 0 (seed)
       out_ref     (1, MB, 8, 128) i32   selected orig indices, 1024/row-group
       mind_ref    (NB, 8, 128) f32      scratch: running min-distance
 
@@ -237,12 +236,6 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
     # block maxima, the winning orig index) therefore stays a (1, 1)
     # vreg via keepdims; only the dynamic block indices (`find`, `wb`)
     # are true scalars. This halves the per-step critical path.
-    def r11(a):
-        return a.reshape(1, -1).max(axis=1, keepdims=True)
-
-    xj0 = r11(seed_ref[0, 0:1, :])
-    yj0 = r11(seed_ref[0, 1:2, :])
-    zj0 = r11(seed_ref[0, 2:3, :])
 
     def _upd_block(g, xj, yj, zj, bm, barg):
         pk = pk_ref[0, g]                               # (32, 128)
@@ -262,14 +255,37 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
         return bm, barg
 
     def step(i, carry):
-        bm, barg, outbuf, xj, yj, zj, wb = carry
+        bm, barg, outbuf, nxt, wb = carry
         # The just-picked point's own block is ALWAYS active (gap = 0
-        # there) and its index is a carried SCALAR — update it first
-        # with no `find` vector->scalar sync on the critical path, then
-        # exclude it from the residual active set. Most steps have no
-        # other active block, so this removes ~one sync + one dependent
-        # dynamic load per step.
-        bm, barg = _upd_block(wb, xj, yj, zj, bm, barg)
+        # there) and its index is a carried SCALAR — load it once, pull
+        # the picked point's coords out of that SAME load (the previous
+        # step's selection never touches pk), update the block, and
+        # exclude it from the residual active scan. No `find` sync and
+        # no second dynamic load on the per-step critical path.
+        pk = pk_ref[0, wb]                              # (32, 128)
+        selm = pk[24:32] == nxt
+        sel3 = jnp.concatenate([selm, selm, selm], axis=0)   # (24, 128)
+        # one cross-lane reduce for all three coords, then cheap
+        # sublane-group maxima
+        lr = jnp.max(jnp.where(sel3, pk[0:24], -jnp.inf),
+                     axis=1, keepdims=True)             # (24, 1)
+        xj = jnp.max(lr[0:8], axis=0, keepdims=True)
+        yj = jnp.max(lr[8:16], axis=0, keepdims=True)
+        zj = jnp.max(lr[16:24], axis=0, keepdims=True)
+
+        xs = pk[0:8]
+        ys = pk[8:16]
+        zs = pk[16:24]
+        d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
+        m2 = jnp.minimum(mind_ref[wb], d2)              # -1 stays pinned
+        mind_ref[wb] = m2
+        bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
+        tie = jnp.min(
+            jnp.where(m2 == bmax, pk[24:32], nbigf).reshape(1, -1),
+            axis=1, keepdims=True,
+        )
+        bm = jnp.where(lanes == wb, bmax, bm)
+        barg = jnp.where(lanes == wb, tie, barg)
 
         gx = jnp.maximum(jnp.maximum(lox - xj, xj - hix), 0.0)
         gy = jnp.maximum(jnp.maximum(loy - yj, yj - hiy), 0.0)
@@ -294,16 +310,6 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
         nxt = jnp.min(jnp.where(hitb, barg, nbigf), axis=1,
                       keepdims=True)                    # (1, 1) orig idx f32
         wb = jnp.min(jnp.where(hitb & (barg == nxt), lanes, nb))
-        pk = pk_ref[0, wb]                              # (32, 128)
-        selm = pk[24:32] == nxt
-        sel3 = jnp.concatenate([selm, selm, selm], axis=0)   # (24, 128)
-        # one cross-lane reduce for all three coords, then cheap
-        # sublane-group maxima
-        lr = jnp.max(jnp.where(sel3, pk[0:24], -jnp.inf),
-                     axis=1, keepdims=True)             # (24, 1)
-        xj = jnp.max(lr[0:8], axis=0, keepdims=True)
-        yj = jnp.max(lr[8:16], axis=0, keepdims=True)
-        zj = jnp.max(lr[16:24], axis=0, keepdims=True)
 
         w = i % 1024
         outbuf = jnp.where(
@@ -315,9 +321,10 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
         def _():
             out_ref[0, i // 1024] = outbuf
 
-        return bm, barg, outbuf, xj, yj, zj, jnp.minimum(wb, nb - 1)
+        return bm, barg, outbuf, nxt, jnp.minimum(wb, nb - 1)
 
-    carry = (bm0, barg0, jnp.zeros((8, 128), jnp.int32), xj0, yj0, zj0,
+    carry = (bm0, barg0, jnp.zeros((8, 128), jnp.int32),
+             jnp.zeros((1, 1), jnp.float32),            # orig idx 0 (seed)
              jnp.minimum(wb0_ref[0, 0, 0], nb - 1))
     jax.lax.fori_loop(1, n_steps, step, carry)
 
@@ -387,10 +394,9 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
     bbox = bbox.at[:, 7, :].set(
         jnp.where(pad_lane, jnp.float32(_NBIG), bbox[:, 7, :]))
 
-    seed = jnp.broadcast_to(xyz[:, 0, :, None], (B, 3, 128))
-    seed = jnp.pad(seed, ((0, 0), (0, 5), (0, 0)))
     # block (after the Morton sort) holding the seed point (orig idx 0) —
-    # the kernel's carried "just-picked block" scalar for step 1
+    # the kernel's carried "just-picked block" scalar for step 1; its
+    # coordinates are pulled from the packed payload in-kernel
     wb0 = (jnp.argmax(ois == 0, axis=1).astype(jnp.int32)
            // _BS)[:, None, None]                        # (B, 1, 1)
 
@@ -410,8 +416,6 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, nbl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -420,7 +424,7 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
         out_shape=jax.ShapeDtypeStruct((B, mb, 8, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((nb, 8, 128), jnp.float32)],
         interpret=interpret,
-    )(packed, blk(init), bbox, seed, wb0)
+    )(packed, blk(init), bbox, wb0)
     return out.reshape(B, mp)[:, :npoint]
 
 
