@@ -190,6 +190,7 @@ def furthest_point_sample_pallas(xyz, npoint, valid_mask=None, weights=None):
 # again, which equals jnp.argmax's first-max rule in the original order.
 
 _BS = 1024          # points per Morton block = one (8, 128) vreg
+_RG = _BS // 128    # sublane rows per coordinate group in the packed payload
 _NBIG = np.int32(2 ** 30)
 
 
