@@ -67,11 +67,20 @@ def sample_boxes(rng, k=5):
     # boxes scattered over the full 69 x 78 m range get ~1-3 candidates
     # each; a 32 x 32 m scene with 1.5 m-tall boxes over a thin ground
     # slab gives object points enough extent share to bootstrap the cls
-    # quality labels within a few hundred steps
+    # quality labels within a few hundred steps.
+    # Centers are rejection-sampled >= 5 m apart: overlapping cars are
+    # physically impossible on real KITTI, and two GT overlapping above
+    # the deployed NMS_THRESH (0.1) make even PERFECT detections
+    # unrecoverable — one of the two is correctly suppressed (verified via
+    # tools/oracle_eval.py), which would corrupt every recovery gate here.
+    centers = []
+    while len(centers) < k:
+        c = np.array([rng.uniform(8, 28), rng.uniform(-12, 12)])
+        if all(np.linalg.norm(c - p) >= 5.0 for p in centers):
+            centers.append(c)
     boxes = []
-    for _ in range(k):
-        boxes.append([rng.uniform(8, 28), rng.uniform(-12, 12),
-                      rng.uniform(-1.2, -0.8), 3.9, 1.6, 1.56,
+    for cx, cy in centers:
+        boxes.append([cx, cy, rng.uniform(-1.2, -0.8), 3.9, 1.6, 1.56,
                       rng.uniform(-np.pi, np.pi)])
     return np.asarray(boxes, np.float32)
 
@@ -145,7 +154,8 @@ def shrink_cfg(cfg, n_points):
 
 
 def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
-              init_params=None, init_statistics=None, tag="teacher"):
+              init_params=None, init_statistics=None, tag="teacher",
+              stat_mode="learned"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -180,6 +190,25 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
         rest["statistics"] = transfer_statistics(
             rest["statistics"], init_statistics
         )
+    if stat_mode == "ones" and "statistics" in rest:
+        # Controlled ablation (VERDICT r2 #1b): freeze the class-statistic
+        # buffers at ONES and skip their momentum updates. Frozen-at-ZERO
+        # is provably dead (cond = shared * 0 -> constant logits, zero cls
+        # gradient — verified by grad probe, SURVEY §8b); ones removes the
+        # multiplicative saturation mechanism (buffers bootstrapping to
+        # magnitude ~40 within ~100 repeated-data steps, reference
+        # code_board.py:884-901 dynamics) while keeping the architecture
+        # unchanged — the regime real-data long schedules approximate.
+        def _force(path, v):
+            name = getattr(path[-1], "key", str(path[-1]))
+            return (jnp.ones_like(v) if name == "object_statistic_features"
+                    else jnp.zeros_like(v))
+
+        rest["statistics"] = jax.tree_util.tree_map_with_path(
+            _force, rest["statistics"]
+        )
+    mutable_cols = (["batch_stats", "statistics"] if stat_mode == "learned"
+                    else ["batch_stats"])
     tx, _ = build_optimizer(dict(cfg.OPTIMIZATION), total_steps=args.steps)
     if distill:
         tx = wrap_student_only(tx, params)
@@ -191,7 +220,7 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
         ret, upd = model.apply(
             {"params": p, **rest}, batch, training=True,
             rngs={"dropout": jax.random.PRNGKey(2)},
-            mutable=["batch_stats", "statistics"],
+            mutable=mutable_cols,
         )
         tb = {k: v for k, v in ret.get("tb_dict", {}).items()}
         return ret["loss"], (upd, tb)
@@ -359,7 +388,16 @@ def main():
                     help="also run the distillation phase (fast_cpc.yaml)")
     ap.add_argument("--val", action="store_true",
                     help="score held-out synthetic scenes with official AP")
-    ap.add_argument("--val_scenes", type=int, default=12)
+    # >= 40 scenes (200 GT): the official protocol caps AP_R40 at
+    # ~num_gt_matched/40 below ~160 GT even for perfect detections
+    # (tests/test_oracle_detection_path.py documents this property)
+    ap.add_argument("--val_scenes", type=int, default=40)
+    ap.add_argument("--stat_mode", choices=["learned", "ones"],
+                    default="learned",
+                    help="'ones' freezes the class-statistic buffers at 1 "
+                         "and disables their updates — the controlled "
+                         "ablation of the multiplicative conditioning's "
+                         "overfit-scale saturation (SURVEY §8b)")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
@@ -406,11 +444,13 @@ def main():
         return cfg
 
     artifact = {"metric": "tsm_sanity_overfit", "scale": args.scale,
-                "steps": args.steps, "batch": B, "points": N}
+                "steps": args.steps, "batch": B, "points": N,
+                "stat_mode": args.stat_mode}
 
     cfg1 = load_cfg("fast_cpc_teacher.yaml")
     res1, t_params, t_rest = run_phase(
-        cfg1, meta, args, train_batch, gt_np, val_scenes, tag="teacher")
+        cfg1, meta, args, train_batch, gt_np, val_scenes, tag="teacher",
+        stat_mode=args.stat_mode)
     # pass = loss collapses AND the supervised box path recovers the
     # planted boxes (box_hits is cls-independent; the statistic-
     # conditioned cls saturates at overfit scale — see run_phase)
@@ -426,7 +466,8 @@ def main():
         res2, _, _ = run_phase(
             cfg2, meta, args, train_batch, gt_np, val_scenes,
             init_params=t_params,
-            init_statistics=t_rest.get("statistics"), tag="student")
+            init_statistics=t_rest.get("statistics"), tag="student",
+            stat_mode=args.stat_mode)
         ok2 = (res2["loss_last10"] < res2["loss_first10"] * 0.5
                and res2["box_hits@0.5"] >= res2["gt_total"] * 0.5)
         res2["pass"] = bool(ok2)

@@ -190,7 +190,7 @@ def furthest_point_sample_pallas(xyz, npoint, valid_mask=None, weights=None):
 # again, which equals jnp.argmax's first-max rule in the original order.
 
 _BS = 1024          # points per Morton block = one (8, 128) vreg
-_RG = _BS // 128    # sublane rows per coordinate group in the packed payload
+_RG = _BS // 128    # sublane rows per coordinate group in the packed (4*_RG, 128) payload
 _NBIG = np.int32(2 ** 30)
 
 
@@ -240,15 +240,15 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
 
     def _upd_block(g, xj, yj, zj, bm, barg):
         pk = pk_ref[0, g]                               # (32, 128)
-        xs = pk[0:8]
-        ys = pk[8:16]
-        zs = pk[16:24]
+        xs = pk[0:_RG]
+        ys = pk[_RG:2 * _RG]
+        zs = pk[2 * _RG:3 * _RG]
         d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
         m2 = jnp.minimum(mind_ref[g], d2)               # -1 stays pinned
         mind_ref[g] = m2
         bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
         tie = jnp.min(
-            jnp.where(m2 == bmax, pk[24:32], nbigf).reshape(1, -1),
+            jnp.where(m2 == bmax, pk[3 * _RG:4 * _RG], nbigf).reshape(1, -1),
             axis=1, keepdims=True,
         )
         bm = jnp.where(lanes == g, bmax, bm)
@@ -264,25 +264,25 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
         # exclude it from the residual active scan. No `find` sync and
         # no second dynamic load on the per-step critical path.
         pk = pk_ref[0, wb]                              # (32, 128)
-        selm = pk[24:32] == nxt
+        selm = pk[3 * _RG:4 * _RG] == nxt
         sel3 = jnp.concatenate([selm, selm, selm], axis=0)   # (24, 128)
         # one cross-lane reduce for all three coords, then cheap
         # sublane-group maxima
-        lr = jnp.max(jnp.where(sel3, pk[0:24], -jnp.inf),
+        lr = jnp.max(jnp.where(sel3, pk[0:3 * _RG], -jnp.inf),
                      axis=1, keepdims=True)             # (24, 1)
-        xj = jnp.max(lr[0:8], axis=0, keepdims=True)
-        yj = jnp.max(lr[8:16], axis=0, keepdims=True)
-        zj = jnp.max(lr[16:24], axis=0, keepdims=True)
+        xj = jnp.max(lr[0:_RG], axis=0, keepdims=True)
+        yj = jnp.max(lr[_RG:2 * _RG], axis=0, keepdims=True)
+        zj = jnp.max(lr[2 * _RG:3 * _RG], axis=0, keepdims=True)
 
-        xs = pk[0:8]
-        ys = pk[8:16]
-        zs = pk[16:24]
+        xs = pk[0:_RG]
+        ys = pk[_RG:2 * _RG]
+        zs = pk[2 * _RG:3 * _RG]
         d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
         m2 = jnp.minimum(mind_ref[wb], d2)              # -1 stays pinned
         mind_ref[wb] = m2
         bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
         tie = jnp.min(
-            jnp.where(m2 == bmax, pk[24:32], nbigf).reshape(1, -1),
+            jnp.where(m2 == bmax, pk[3 * _RG:4 * _RG], nbigf).reshape(1, -1),
             axis=1, keepdims=True,
         )
         bm = jnp.where(lanes == wb, bmax, bm)

@@ -94,19 +94,42 @@ def get_voxel_centers(voxel_coords, downsample_times, voxel_size, point_cloud_ra
 # host-side runtime helpers
 # ---------------------------------------------------------------------------
 
+class _LiveStderrHandler(logging.StreamHandler):
+    """StreamHandler that resolves sys.stderr at EMIT time (the stdlib
+    logging._StderrHandler pattern). A plain StreamHandler binds the stream
+    object once at creation; because create_logger caches handlers on a
+    named logger, a long-lived process (or a test suite that swaps
+    sys.stderr per test) would keep writing to a stale — possibly closed —
+    stream from the first call."""
+
+    def __init__(self, level=logging.NOTSET):
+        logging.Handler.__init__(self, level)
+
+    @property
+    def stream(self):
+        import sys
+
+        return sys.stderr
+
+
 def create_logger(log_file=None, rank=0, log_level=logging.INFO):
     logger = logging.getLogger(__name__ + (".rank%d" % rank))
     logger.setLevel(log_level if rank == 0 else logging.ERROR)
     logger.propagate = False
     formatter = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
-    if not logger.handlers:
-        console = logging.StreamHandler()
-        console.setLevel(log_level if rank == 0 else logging.ERROR)
+    lvl = log_level if rank == 0 else logging.ERROR
+    if not any(isinstance(h, _LiveStderrHandler) for h in logger.handlers):
+        console = _LiveStderrHandler()
+        console.setLevel(lvl)
         console.setFormatter(formatter)
         logger.addHandler(console)
-        if log_file is not None:
-            fh = logging.FileHandler(filename=log_file)
-            fh.setLevel(log_level if rank == 0 else logging.ERROR)
+    if log_file is not None:
+        path = os.path.abspath(str(log_file))
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, "baseFilename", None) == path
+                   for h in logger.handlers):
+            fh = logging.FileHandler(filename=path)
+            fh.setLevel(lvl)
             fh.setFormatter(formatter)
             logger.addHandler(fh)
     return logger
