@@ -1,0 +1,340 @@
+"""Hermetic Waymo tfrecord preprocessing tests (VERDICT r2 #4).
+
+A minimal proto2 wire-format ENCODER builds synthetic Frame messages with
+the public dataset.proto field numbers (the same maps the decoder uses),
+wraps them in real TFRecord framing, and the full pipeline runs:
+tfrecord -> decode -> range-image extraction -> npy/pkl -> WaymoDataset
+-> prepare_data -> gt database. Geometry is validated against physical
+invariants (|p - t_extrinsic| == range; azimuth/elevation of the output
+point match the column/row angles), NOT against the decoder's own
+formulas. CRC32C is validated against the standard check value."""
+import pickle
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tsm_det_pointcloud_tpu.datasets.waymo.waymo_preprocess import (
+    crc32c,
+    decode_frame,
+    process_single_sequence,
+    range_image_to_points,
+    read_tfrecord,
+    write_tfrecord,
+)
+
+# ---------------------------------------------------------------------------
+# tiny proto2 encoder (wire format)
+# ---------------------------------------------------------------------------
+
+
+def _varint(v):
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def f_varint(num, v):
+    return _varint(num << 3 | 0) + _varint(int(v))
+
+
+def f_double(num, v):
+    return _varint(num << 3 | 1) + struct.pack("<d", v)
+
+
+def f_bytes(num, v):
+    if isinstance(v, str):
+        v = v.encode()
+    return _varint(num << 3 | 2) + _varint(len(v)) + v
+
+
+def f_packed_floats(num, vals):
+    return f_bytes(num, np.asarray(vals, "<f4").tobytes())
+
+
+def f_packed_varints(num, vals):
+    return f_bytes(num, b"".join(_varint(int(v)) for v in vals))
+
+
+def transform_msg(num, mat):
+    inner = b"".join(f_double(1, x) for x in np.asarray(mat).reshape(-1))
+    return f_bytes(num, inner)
+
+
+def matrix_float(data, dims):
+    msg = f_packed_floats(1, np.asarray(data).reshape(-1))
+    msg += f_bytes(2, f_packed_varints(1, dims))
+    return zlib.compress(msg)
+
+
+def make_frame(pose, top_ri, top_pose6, front_ri, labels,
+               top_extrinsic, front_extrinsic, context_name="ctx0"):
+    """Encode a Frame with: context (5 cameras, TOP+FRONT lasers),
+    pose, lasers (ri_return1 only), labels."""
+    ctx = f_bytes(1, context_name)
+    for j in range(5):
+        cam = f_varint(1, j + 1) + f_varint(4, 1920) + f_varint(5, 1280)
+        ctx += f_bytes(2, cam)
+    # TOP (name=1): min/max inclinations (computed path) + extrinsic
+    top_cal = (f_varint(1, 1) + f_double(3, -0.3) + f_double(4, 0.3)
+               + transform_msg(5, top_extrinsic))
+    ctx += f_bytes(3, top_cal)
+    # FRONT (name=2): explicit beam_inclinations + extrinsic
+    front_cal = f_varint(1, 2)
+    for inc in [-0.2, -0.1, 0.1, 0.2]:
+        front_cal += f_double(2, inc)
+    front_cal += transform_msg(5, front_extrinsic)
+    ctx += f_bytes(3, front_cal)
+
+    frame = f_bytes(1, ctx)
+    frame += f_varint(2, 1234567890)          # timestamp_micros
+    frame += transform_msg(3, pose)           # frame pose
+    # lasers = 5
+    top_ri_msg = f_bytes(2, matrix_float(top_ri, list(top_ri.shape)))
+    if top_pose6 is not None:
+        top_ri_msg += f_bytes(4, matrix_float(
+            top_pose6, list(top_pose6.shape)))
+    frame += f_bytes(5, f_varint(1, 1) + f_bytes(2, top_ri_msg))
+    front_ri_msg = f_bytes(2, matrix_float(front_ri, list(front_ri.shape)))
+    frame += f_bytes(5, f_varint(1, 2) + f_bytes(2, front_ri_msg))
+    # laser_labels = 6
+    for lab in labels:
+        box = b"".join(f_double(i + 1, v) for i, v in enumerate(lab["box"]))
+        msg = (f_bytes(1, box) + f_varint(3, lab["type"])
+               + f_bytes(4, lab.get("id", "obj"))
+               + f_varint(5, lab.get("difficulty", 0))
+               + f_varint(7, lab.get("npts", 10)))
+        frame += f_bytes(6, msg)
+    return frame
+
+
+def _ri(H=4, W=8, n_valid=6, seed=0):
+    rng = np.random.RandomState(seed)
+    ri = np.zeros((H, W, 4), np.float32)
+    rows = rng.randint(0, H, n_valid)
+    cols = rng.randint(0, W, n_valid)
+    ri[rows, cols, 0] = rng.uniform(5, 40, n_valid)
+    ri[rows, cols, 1] = rng.uniform(0, 1, n_valid)   # intensity
+    ri[rows, cols, 2] = rng.uniform(0, 1, n_valid)   # elongation
+    ri[rows, cols, 3] = -1                            # not in NLZ
+    return ri
+
+
+# ---------------------------------------------------------------------------
+# unit pieces
+# ---------------------------------------------------------------------------
+
+def test_crc32c_check_value():
+    """Standard CRC-32C check value (RFC 3720): crc('123456789')."""
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    payloads = [b"hello", b"", b"x" * 1000]
+    p = tmp_path / "t.tfrecord"
+    write_tfrecord(p, payloads)
+    assert list(read_tfrecord(p)) == payloads
+
+
+def test_tfrecord_corruption_detected(tmp_path):
+    p = tmp_path / "t.tfrecord"
+    write_tfrecord(p, [b"payload-bytes"])
+    raw = bytearray(p.read_bytes())
+    raw[14] ^= 0xFF  # flip a payload byte
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError):
+        list(read_tfrecord(p))
+
+
+def test_range_image_geometry_invariants():
+    """Identity extrinsic: |p| == range; azimuth/elevation of each output
+    point must equal the column/row angles of the sweep."""
+    H, W = 4, 16
+    ri = np.zeros((H, W, 4), np.float32)
+    ri[:, :, 0] = 10.0
+    pts = range_image_to_points(
+        ri, np.eye(4), beam_inclinations=[-0.2, -0.1, 0.1, 0.2])
+    assert pts.shape == (H * W, 6)
+    np.testing.assert_allclose(
+        np.linalg.norm(pts[:, :3], axis=1), 10.0, atol=1e-4)
+    p = pts[:, :3].reshape(H, W, 3)
+    elev = np.arcsin(p[..., 2] / 10.0)
+    # row 0 = TOP beam (inclinations reversed)
+    np.testing.assert_allclose(elev[:, 0], [0.2, 0.1, -0.1, -0.2],
+                               atol=1e-6)
+    az = np.arctan2(p[..., 1], p[..., 0])
+    ratios = (np.arange(W, 0, -1) - 0.5) / W
+    np.testing.assert_allclose(az[0], (ratios * 2 - 1) * np.pi, atol=1e-6)
+
+
+def test_range_image_extrinsic_translation_and_yaw():
+    """Extrinsic translation shifts points; extrinsic yaw rotates the
+    sensor but the azimuth correction cancels it — the VEHICLE-frame
+    azimuth grid is invariant (the official az_correction property)."""
+    H, W = 2, 8
+    ri = np.zeros((H, W, 4), np.float32)
+    ri[:, :, 0] = 5.0
+    ex = np.eye(4)
+    ex[:3, 3] = [1.0, 2.0, 3.0]
+    pts = range_image_to_points(ri, ex, beam_inclinations=[-0.1, 0.1])
+    np.testing.assert_allclose(
+        np.linalg.norm(pts[:, :3] - ex[:3, 3], axis=1), 5.0, atol=1e-4)
+
+    yaw = 0.7
+    ex2 = np.eye(4)
+    ex2[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    pts2 = range_image_to_points(ri, ex2, beam_inclinations=[-0.1, 0.1])
+    base = range_image_to_points(ri, np.eye(4),
+                                 beam_inclinations=[-0.1, 0.1])
+    np.testing.assert_allclose(
+        np.sort(np.arctan2(pts2[:, 1], pts2[:, 0])),
+        np.sort(np.arctan2(base[:, 1], base[:, 0])), atol=1e-5)
+
+
+def test_top_pixel_pose_translation():
+    """Identity frame pose + per-pixel pose translating by t: points
+    shift by exactly t (vehicle -> global -> vehicle path)."""
+    H, W = 2, 4
+    ri = np.zeros((H, W, 4), np.float32)
+    ri[:, :, 0] = 7.0
+    pose6 = np.zeros((H, W, 6), np.float32)
+    pose6[..., 3:] = [10.0, -5.0, 2.0]
+    pts = range_image_to_points(
+        ri, np.eye(4), beam_inclinations=[-0.1, 0.1],
+        pixel_pose=pose6, frame_pose=np.eye(4))
+    base = range_image_to_points(ri, np.eye(4),
+                                 beam_inclinations=[-0.1, 0.1])
+    np.testing.assert_allclose(pts[:, :3] - base[:, :3],
+                               np.tile([10.0, -5.0, 2.0], (H * W, 1)),
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def _write_sequence(tmp_path, name="segment-77", n_frames=2):
+    ex_top = np.eye(4)
+    ex_top[:3, 3] = [1.0, 0.0, 2.0]
+    ex_front = np.eye(4)
+    frames = []
+    for i in range(n_frames):
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 2.0, 0, 0]
+        labels = [
+            {"box": [10 + i, 1, 0.5, 4.5, 2.0, 1.8, 0.3], "type": 1,
+             "npts": 25, "difficulty": 0, "id": f"veh{i}"},
+            {"box": [5, -3, 0.2, 0.8, 0.8, 1.7, 0.0], "type": 2,
+             "npts": 4, "difficulty": 2, "id": f"ped{i}"},
+            {"box": [2, 2, 0, 1, 1, 1, 0], "type": 0, "id": "unk"},
+        ]
+        frames.append(make_frame(
+            pose, _ri(seed=i), np.zeros((4, 8, 6), np.float32),
+            _ri(seed=100 + i), labels, ex_top, ex_front))
+    raw = tmp_path / "raw_data"
+    raw.mkdir(exist_ok=True)
+    write_tfrecord(raw / f"{name}.tfrecord", frames)
+    return raw / f"{name}.tfrecord"
+
+
+def test_decode_frame_fields(tmp_path):
+    f = _write_sequence(tmp_path)
+    payloads = list(read_tfrecord(f))
+    fr = decode_frame(payloads[0])
+    assert fr["context_name"] == "ctx0"
+    assert fr["timestamp_micros"] == 1234567890
+    assert fr["camera_hw"][1] == (1280, 1920)
+    assert set(fr["range_images"]) == {1, 2}
+    np.testing.assert_allclose(
+        fr["laser_calib"][2]["beam_inclinations"], [-0.2, -0.1, 0.1, 0.2])
+    assert fr["laser_calib"][1]["beam_inclination_max"] == pytest.approx(0.3)
+    assert fr["top_pose"].shape == (4, 8, 6)
+    assert len(fr["labels"]) == 3
+    assert fr["labels"][0]["box"]["l"] == pytest.approx(4.5)
+    assert fr["labels"][1]["num_lidar_points_in_box"] == 4
+
+
+def test_process_single_sequence(tmp_path):
+    f = _write_sequence(tmp_path)
+    save = tmp_path / "waymo_processed_data"
+    infos = process_single_sequence(f, save, sampled_interval=1)
+    assert len(infos) == 2
+    seq = f.stem
+    for i, info in enumerate(infos):
+        assert info["point_cloud"] == {
+            "num_features": 5, "lidar_sequence": seq, "sample_idx": i}
+        assert info["frame_id"] == f"{seq}_%03d" % i
+        npy = np.load(save / seq / ("%04d.npy" % i))
+        assert npy.shape[1] == 6 and npy.dtype == np.float32
+        assert (npy[:, 5] == -1).all()         # NLZ channel preserved
+        assert len(info["num_points_of_each_lidar"]) == 2
+        assert sum(info["num_points_of_each_lidar"]) == len(npy)
+        # 'unknown' dropped; Vehicle + Pedestrian kept with metadata
+        a = info["annos"]
+        assert list(a["name"]) == ["Vehicle", "Pedestrian"]
+        assert a["gt_boxes_lidar"].shape == (2, 7)
+        assert a["num_points_in_gt"].tolist() == [25, 4]
+        assert a["difficulty"].tolist() == [0, 2]
+        np.testing.assert_allclose(info["pose"][0, 3], i * 2.0)
+    # idempotent: second run loads the pkl
+    infos2 = process_single_sequence(f, save)
+    assert len(infos2) == 2
+    with open(save / seq / f"{seq}.pkl", "rb") as fh:
+        assert len(pickle.load(fh)) == 2
+
+
+def test_create_waymo_infos_end_to_end(tmp_path):
+    """create_waymo_infos -> info pkls + gt db, consumed by WaymoDataset
+    through prepare_data."""
+    from tsm_det_pointcloud_tpu.datasets.waymo.waymo_dataset import (
+        WaymoDataset,
+        create_waymo_infos,
+    )
+    from tsm_det_pointcloud_tpu.utils.edict import EDict
+
+    f = _write_sequence(tmp_path, name="segment-42", n_frames=3)
+    (tmp_path / "ImageSets").mkdir()
+    (tmp_path / "ImageSets" / "train.txt").write_text(f.name + "\n")
+    (tmp_path / "ImageSets" / "val.txt").write_text("")
+
+    cfg = EDict({
+        "DATASET": "WaymoDataset",
+        "DATA_SPLIT": {"train": "train", "test": "val"},
+        "SAMPLED_INTERVAL": {"train": 1, "test": 1},
+        "POINT_CLOUD_RANGE": [-75.2, -75.2, -2, 75.2, 75.2, 4],
+        "MAX_POINTS": 256,
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z", "intensity"],
+            "src_feature_list": ["x", "y", "z", "intensity", "elongation"],
+        },
+        "DATA_PROCESSOR": [
+            {"NAME": "sample_points",
+             "NUM_POINTS": {"train": 256, "test": 256}},
+        ],
+        "DATA_AUGMENTOR": {"DISABLE_AUG_LIST": ["placeholder"],
+                           "AUG_CONFIG_LIST": []},
+    })
+    create_waymo_infos(
+        cfg, ["Vehicle", "Pedestrian", "Cyclist"], tmp_path, tmp_path,
+    )
+    train_pkl = tmp_path / "waymo_processed_data_infos_train.pkl"
+    assert train_pkl.exists()
+    with open(train_pkl, "rb") as fh:
+        assert len(pickle.load(fh)) == 3
+    assert (tmp_path
+            / "pcdet_waymo_dbinfos_train_sampled_1.pkl").exists()
+
+    ds = WaymoDataset(cfg, class_names=["Vehicle"], training=True,
+                      root_path=tmp_path)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["points"].shape[1] == 4
+    assert np.isfinite(item["points"]).all()

@@ -6,8 +6,10 @@ pkls, SAMPLED_INTERVAL subsampling (train=5 -> 20% data), npy lidar frames
 creation with per-frame class thinning, kitti- or waymo-metric evaluation.
 
 The tfrecord -> npy/pkl preprocessing (`create_waymo_infos`, reference
-:403-445) requires the `waymo_open_dataset` TF package; it is gated here —
-this loader consumes the already-preprocessed layout:
+:403-445) runs HERMETICALLY here: waymo_preprocess.py implements the
+tfrecord framing, the Frame-proto wire decoding, and the range-image ->
+point-cloud extraction in pure python/numpy (no TF / waymo pip). The
+loader consumes the produced layout:
   <root>/waymo_processed_data/<sequence>/NNNN.npy + <sequence>.pkl
 """
 from __future__ import annotations
@@ -311,13 +313,111 @@ class WaymoDataset(DatasetTemplate):
         return db_info_path
 
 
-def create_waymo_infos(*args, **kwargs):
-    """tfrecord preprocessing requires the waymo_open_dataset TF package
-    (reference waymo_dataset.py:403-445 + waymo_utils.py); run it on a CPU
-    host with that package installed. This environment ships without TF
-    egress, so only preprocessed npy/pkl layouts are consumable here."""
-    raise RuntimeError(
-        "create_waymo_infos needs the waymo_open_dataset package; "
-        "preprocess on a host that has it, then point DATA_CONFIG at the "
-        "npy/pkl layout this loader consumes."
+    def set_split(self, split):
+        """Re-point the dataset at another split (parity :39-48)."""
+        self.split = split
+        split_file = self.root_path / "ImageSets" / (self.split + ".txt")
+        self.sample_sequence_list = (
+            [x.strip() for x in open(split_file).readlines()]
+            if split_file.exists() else []
+        )
+        self.infos = []
+
+    def get_infos(self, raw_data_path, save_path, num_workers=1,
+                  has_label=True, sampled_interval=1):
+        """tfrecord -> per-sequence npy/pkl via the HERMETIC preprocessor
+        (waymo_preprocess.py — no TF / waymo pip needed; parity:
+        reference waymo_dataset.py:137-160 -> waymo_utils.py:184-246)."""
+        from functools import partial
+
+        from .waymo_preprocess import process_single_sequence
+
+        fn = partial(
+            process_single_sequence, save_path=Path(save_path),
+            sampled_interval=sampled_interval, has_label=has_label,
+        )
+        files = [Path(raw_data_path) / seq
+                 for seq in self.sample_sequence_list]
+        if num_workers > 1:
+            import multiprocessing
+
+            with multiprocessing.Pool(num_workers) as pool:
+                per_seq = pool.map(fn, files)
+        else:
+            per_seq = [fn(f) for f in files]
+        return [info for seq in per_seq for info in seq]
+
+
+def create_waymo_infos(dataset_cfg, class_names, data_path, save_path,
+                       raw_data_tag="raw_data",
+                       processed_data_tag="waymo_processed_data",
+                       workers=1):
+    """Offline preprocessing entry (parity: reference waymo_dataset.py:
+    403-445): tfrecords under <data_path>/<raw_data_tag>/ -> per-sequence
+    npy/pkl under <save_path>/<processed_data_tag>/, split info pkls, and
+    the train gt database. Runs hermetically (pure-python tfrecord +
+    proto decoding, numpy range-image extraction)."""
+    from ...utils.common_utils import create_logger
+
+    data_path, save_path = Path(data_path), Path(save_path)
+    dataset = WaymoDataset(
+        dataset_cfg=dataset_cfg, class_names=class_names,
+        root_path=data_path, training=False, logger=create_logger(),
     )
+    train_split, val_split = "train", "val"
+    train_filename = save_path / f"{processed_data_tag}_infos_{train_split}.pkl"
+    val_filename = save_path / f"{processed_data_tag}_infos_{val_split}.pkl"
+
+    print("---------------Start to generate data infos---------------")
+    dataset.set_split(train_split)
+    waymo_infos_train = dataset.get_infos(
+        raw_data_path=data_path / raw_data_tag,
+        save_path=save_path / processed_data_tag, num_workers=workers,
+        has_label=True, sampled_interval=1,
+    )
+    with open(train_filename, "wb") as f:
+        pickle.dump(waymo_infos_train, f)
+    print(f"----------------Waymo info train file is saved to "
+          f"{train_filename}----------------")
+
+    dataset.set_split(val_split)
+    waymo_infos_val = dataset.get_infos(
+        raw_data_path=data_path / raw_data_tag,
+        save_path=save_path / processed_data_tag, num_workers=workers,
+        has_label=True, sampled_interval=1,
+    )
+    with open(val_filename, "wb") as f:
+        pickle.dump(waymo_infos_val, f)
+    print(f"----------------Waymo info val file is saved to "
+          f"{val_filename}----------------")
+
+    print("---------------Start create groundtruth database for data "
+          "augmentation---------------")
+    dataset.set_split(train_split)
+    dataset.infos = list(waymo_infos_train)
+    dataset.create_groundtruth_database(
+        info_path=train_filename, split="train", sampled_interval=1,
+        used_classes=["Vehicle", "Pedestrian", "Cyclist"],
+        processed_data_tag=processed_data_tag,
+    )
+    print("---------------Data preparation Done---------------")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "create_waymo_infos":
+        import yaml as _yaml
+
+        from ...utils.edict import EDict
+
+        dataset_cfg = EDict(_yaml.safe_load(open(sys.argv[2])))
+        ROOT_DIR = (Path(sys.argv[3]) if len(sys.argv) > 3
+                    else Path(dataset_cfg.DATA_PATH))
+        create_waymo_infos(
+            dataset_cfg=dataset_cfg,
+            class_names=["Vehicle", "Pedestrian", "Cyclist"],
+            data_path=ROOT_DIR, save_path=ROOT_DIR,
+            processed_data_tag=dataset_cfg.get(
+                "PROCESSED_DATA_TAG", "waymo_processed_data"),
+        )
