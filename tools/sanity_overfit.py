@@ -153,9 +153,14 @@ def shrink_cfg(cfg, n_points):
     return cfg
 
 
-def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
+def run_phase(cfg, meta, args, train_batches, gt_np, val_scenes,
               init_params=None, init_statistics=None, tag="teacher",
               stat_mode="learned"):
+    # train_batches: list of same-shaped batch dicts. One batch = the
+    # classic overfit; several = a small FIT over varied scenes (cycled
+    # per step), which is what a nonzero held-out val AP requires.
+    train_batch = train_batches[0]
+    nb = len(train_batches)
     import jax
     import jax.numpy as jnp
     import optax
@@ -232,12 +237,24 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
         params, rest)
     tb_keys = tuple(sorted(tb_shapes.keys()))
 
+    # several train batches -> stack the array leaves once and cycle
+    # per step (it % nb) inside the jit
+    arr_keys = [k for k, v in train_batch.items() if hasattr(v, "ndim")]
+    stacked = ({k: jnp.stack([jnp.asarray(b[k]) for b in train_batches])
+                for k in arr_keys} if nb > 1 else None)
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(p, os_, rest, it0, n):
         def step(i, carry):
             p, os_, rest, acc, tbacc = carry
+            if nb > 1:
+                bi = (it0 + i) % nb
+                b = {**train_batch,
+                     **{k: stacked[k][bi] for k in arr_keys}}
+            else:
+                b = train_batch
             (l, (upd, tbd)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, rest, train_batch, it0 + i)
+                p, rest, b, it0 + i)
             u, os_ = tx.update(g, os_, p)
             p = optax.apply_updates(p, u)
             rest = {**rest, **{k: upd[k] for k in upd}}
@@ -282,6 +299,15 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
     raw = model.apply({"params": params, **rest}, dict(ev), training=False)
     raw_s = np.asarray(jax.nn.sigmoid(raw["batch_cls_preds"]).max(
         axis=(1, 2)))
+    # eval-mode cls-independent box recovery: does ANY eval-forward
+    # decoded row land on each planted box? Separates "eval-mode boxes
+    # are wrong" from "eval-mode scores are miscalibrated".
+    raw_boxes_ev = np.asarray(raw["batch_box_preds"])
+    box_hits_ev = 0
+    for b in range(B):
+        iou_ev = np.asarray(boxes_iou3d(
+            jnp.asarray(raw_boxes_ev[b]), jnp.asarray(gt_np[b, :5, :7])))
+        box_hits_ev += int((iou_ev.max(axis=0) >= 0.5).sum())
     # statistic-buffer magnitude: the multiplicative class-statistic
     # conditioning starts from ZERO buffers (reference
     # code_board.py:93-95) and only moves once backbone confidence
@@ -316,11 +342,19 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
     raw_tr = model.apply({"params": params, **rest}, tr_ev, training=True,
                          mutable=["batch_stats", "statistics"])[0]
     raw_boxes = np.asarray(raw_tr["batch_box_preds"])
+    votes_tr = np.asarray(raw_tr["point_vote_coords"])
+    from tsm_det_pointcloud_tpu.ops.boxes import points_in_boxes_np
+
     box_hits = 0
+    boxes_with_vote = 0  # gt boxes containing >= 1 vote (candidate
+    # coverage, cls- and reg-independent): separates "no candidates on
+    # the box" from "candidates there but decoded boxes wrong"
     for b in range(B):
         iou_all = np.asarray(boxes_iou3d(
             jnp.asarray(raw_boxes[b]), jnp.asarray(gt_np[b, :5, :7])))
         box_hits += int((iou_all.max(axis=0) >= 0.5).sum())
+        vidx = points_in_boxes_np(votes_tr[b], gt_np[b, :5, :7])
+        boxes_with_vote += len(set(int(i) for i in vidx if i >= 0))
 
     hits = 0
     total_gt = 0
@@ -342,6 +376,8 @@ def run_phase(cfg, meta, args, train_batch, gt_np, val_scenes,
     res = {
         "stat_mag": round(stat_mag, 4),
         "box_hits@0.5": box_hits,
+        "box_hits_eval@0.5": box_hits_ev,
+        "boxes_with_vote": boxes_with_vote,
         "loss_first10": round(first, 3), "loss_last10": round(last, 3),
         "det_counts": cnt.tolist(),
         "gt_hits@0.5": hits, "gt_total": total_gt,
@@ -392,6 +428,11 @@ def main():
     # ~num_gt_matched/40 below ~160 GT even for perfect detections
     # (tests/test_oracle_detection_path.py documents this property)
     ap.add_argument("--val_scenes", type=int, default=40)
+    ap.add_argument("--train_scenes", type=int, default=0,
+                    help="total distinct training scenes (0 = one batch, "
+                         "the classic overfit). More scenes turn the run "
+                         "into a small FIT whose held-out val AP can be "
+                         "nonzero (overfitting 4 scenes cannot generalize)")
     ap.add_argument("--stat_mode", choices=["learned", "ones"],
                     default="learned",
                     help="'ones' freezes the class-statistic buffers at 1 "
@@ -427,7 +468,10 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    train_batch, gt_np = make_batch(rng, B, N, jnp)
+    n_tb = max(1, -(-args.train_scenes // B)) if args.train_scenes else 1
+    train_batches = [make_batch(rng, B, N, jnp) for _ in range(n_tb)]
+    gt_np = train_batches[0][1]
+    train_batches = [b for b, _ in train_batches]
     val_scenes = None
     if args.val:
         vrng = np.random.default_rng(1234)
@@ -445,11 +489,12 @@ def main():
 
     artifact = {"metric": "tsm_sanity_overfit", "scale": args.scale,
                 "steps": args.steps, "batch": B, "points": N,
-                "stat_mode": args.stat_mode}
+                "stat_mode": args.stat_mode,
+                "train_scenes": args.train_scenes or B}
 
     cfg1 = load_cfg("fast_cpc_teacher.yaml")
     res1, t_params, t_rest = run_phase(
-        cfg1, meta, args, train_batch, gt_np, val_scenes, tag="teacher",
+        cfg1, meta, args, train_batches, gt_np, val_scenes, tag="teacher",
         stat_mode=args.stat_mode)
     # pass = loss collapses AND the supervised box path recovers the
     # planted boxes (box_hits is cls-independent; the statistic-
@@ -464,7 +509,7 @@ def main():
     if args.phase2:
         cfg2 = load_cfg("fast_cpc.yaml")
         res2, _, _ = run_phase(
-            cfg2, meta, args, train_batch, gt_np, val_scenes,
+            cfg2, meta, args, train_batches, gt_np, val_scenes,
             init_params=t_params,
             init_statistics=t_rest.get("statistics"), tag="student",
             stat_mode=args.stat_mode)
