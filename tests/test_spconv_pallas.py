@@ -146,3 +146,54 @@ def test_bykey_dispatch_all_conv_flavors(monkeypatch):
     df, dw = jax.grad(loss, argnums=(0, 1))(feats, w)
     assert float(jnp.abs(df).max()) > 0 and float(jnp.abs(dw).max()) > 0
     assert bool(jnp.all(jnp.isfinite(df))) and bool(jnp.all(jnp.isfinite(dw)))
+
+
+def test_bykey_bwd_matches_xla_vjp():
+    """Pallas backward (windowed one-hot transpose-scatter + gather/outer
+    product) == jax.vjp of the XLA gather reference, bit-tolerant f32."""
+    sp, coords, valid, feats, w, grid = _sparse_case()
+    sent = int(np.prod(grid))
+    keys = sp.linearize(coords, grid, valid)
+    offs = jnp.asarray(sp.kernel_offsets(3))
+    qk = sp.linearize(coords[:, None, :, :] + offs[None, :, None, :],
+                      grid, valid[:, None, :])
+    idx, fnd = sp._lookup_batched(keys, qk, sent)
+    idxm = jnp.where(fnd, idx, -1)
+    rng = np.random.RandomState(7)
+    g = jnp.asarray(rng.randn(feats.shape[0], qk.shape[2],
+                              w.shape[-1]).astype(np.float32))
+    _, vjp = jax.vjp(lambda f, ww: gp._xla_reference(f, idxm, ww), feats, w)
+    want_df, want_dw = vjp(g)
+    got_df, got_dw = gp.gather_matmul_bykey_bwd(
+        feats, keys, qk, w, g, sent, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_df), np.asarray(want_df),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bykey_bwd_unaligned_and_masked():
+    """Padding (odd V/Q), sentinel rows and never-matching keys all
+    contribute zero gradient."""
+    from tsm_det_pointcloud_tpu.ops import spconv as sp
+
+    rng = np.random.RandomState(3)
+    B, V, C, Co, K, Q = 2, 300, 8, 16, 5, 200
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    w = jnp.asarray((rng.randn(K, C, Co) * 0.1).astype(np.float32))
+    sent = 10 ** 6
+    sk = np.sort(rng.choice(sent, (B, V), replace=False).astype(np.int32), 1)
+    qk = rng.choice(sent, (B, K, Q)).astype(np.int32)
+    qk[:, :, ::7] = sent + 5  # sentinel rows
+    sk_j, qk_j = jnp.asarray(sk), jnp.asarray(qk)
+    idx, fnd = sp._lookup_batched(sk_j, qk_j, sent)
+    idxm = jnp.where(fnd, idx, -1)
+    g = jnp.asarray(rng.randn(B, Q, Co).astype(np.float32))
+    _, vjp = jax.vjp(lambda f, ww: gp._xla_reference(f, idxm, ww), feats, w)
+    want_df, want_dw = vjp(g)
+    got_df, got_dw = gp.gather_matmul_bykey_bwd(
+        feats, sk_j, qk_j, w, g, sent, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_df), np.asarray(want_df),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw),
+                               rtol=1e-4, atol=1e-4)

@@ -1,12 +1,10 @@
 """Per-op device-time profile of the TSM distill TRAIN step.
 
-Splits the step into three traced programs to attribute time across
-phases (VERDICT r2 #2 — the train-side twin of profile_eval.py):
-  fwd   — training-mode loss forward only (teacher + student + losses)
-  grad  — value_and_grad of the same loss (fwd + VJP)
-  full  — grad + optimizer update (the deployed train step)
-Phase deltas give the VJP cost (grad - fwd) and optimizer cost
-(full - grad). Also prints the top ops of the full step.
+Traces the DEPLOYED step once and attributes device time across
+phases via each op's jax path (VERDICT r2 #2 — train-side twin of
+profile_eval.py): primal ops run under `jvp(...)` -> fwd, backward ops
+under `transpose(jvp(...))` -> vjp, optimizer/update/infra ops -> other.
+Also prints the top ops of the full step with their phase.
 
 Reference budget being chased: 20.6 scans/s sustained on a 2080 Ti
 (README.md:132, 5 h / 100 epochs at b16).
@@ -17,13 +15,65 @@ Usage:
 """
 import argparse
 import json
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
-from tools.profile_eval import aggregate_trace, synth_points
+from tools.profile_eval import _GEN, synth_points
+
+
+def aggregate_trace_phased(trace_dir):
+    """Like profile_eval.aggregate_trace but also buckets each op-lane
+    event into fwd / vjp / other via its jax op path (`tf_op` arg):
+    `transpose(jvp(...))` -> vjp, plain `jvp(...)` -> fwd, else other."""
+    import collections
+    import glob
+    import gzip
+    import re
+
+    paths = glob.glob(
+        str(pathlib.Path(trace_dir) / "**" / "*.trace.json.gz"),
+        recursive=True,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no *.trace.json.gz under {trace_dir}")
+    p = max(paths, key=lambda q: pathlib.Path(q).stat().st_mtime)
+    with gzip.open(p, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    tid_lanes = set()
+    for ev in events:
+        if ev.get("ph") != "M" or ev.get("name") != "thread_name":
+            continue
+        nm = ev.get("args", {}).get("name", "")
+        if nm == "XLA Ops" or re.search(r"XLAEigen", nm):
+            tid_lanes.add((ev["pid"], ev["tid"]))
+    by_op = collections.Counter()
+    by_phase = collections.Counter()
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X":
+            continue
+        if (ev.get("pid"), ev.get("tid")) not in tid_lanes:
+            continue
+        name = ev.get("name", "?")
+        if name.startswith(("end: ", "ThunkExecutor", "Threadpool")):
+            continue
+        path = ev.get("args", {}).get("tf_op", "")
+        if "transpose(jvp" in path:
+            phase = "vjp"
+        elif "jvp(" in path:
+            phase = "fwd"
+        else:
+            phase = "other"
+        dur = float(ev.get("dur", 0.0))
+        by_op[(_GEN.sub("", name), phase)] += dur
+        by_phase[phase] += dur
+        total += dur
+    return by_op, by_phase, max(total, 1e-9)
 
 
 def main():
@@ -104,44 +154,39 @@ def main():
         )
         return ret["loss"], upd
 
-    @jax.jit
-    def fwd_only(p, rest, x):
-        l, upd = loss_fn(p, rest, make_batch(x))
-        return l
-
-    @jax.jit
-    def grad_only(p, rest, x):
-        (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, rest, make_batch(x))
-        return l, jax.tree_util.tree_reduce(
-            lambda a, b: a + b.sum(), g, 0.0)
-
+    # One traced program: the DEPLOYED step (value_and_grad + optimizer in
+    # a fori_loop, the bench_train/run_chunk shape). Phase attribution
+    # comes from each op event's `tf_op` path: primal ops run under
+    # `jvp(...)`, VJP ops under `transpose(jvp(...))`, optimizer/update
+    # ops under neither. (Phase-isolated jits were tried first and tip a
+    # spconv bykey kernel over the 16 MB scoped-VMEM stack that the
+    # deployed loop shape compiles fine.)
     @jax.jit
     def full_step(p, os_, rest, x):
-        (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, rest, make_batch(x))
-        u, os_ = tx.update(g, os_, p)
-        p = optax.apply_updates(p, u)
-        return l, jax.tree_util.tree_reduce(
-            lambda a, b: a + b.sum(), p, 0.0), os_
+        def body(_, carry):
+            p, os_, acc = carry
+            (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, rest, make_batch(x + acc * 1e-12))
+            u, os_ = tx.update(g, os_, p)
+            p = optax.apply_updates(p, u)
+            return p, os_, acc + l
+        p, os_, acc = jax.lax.fori_loop(0, 1, body,
+                                        (p, os_, jnp.float32(0.0)))
+        # the returned scalar MUST depend on the updated params: with a
+        # 1-trip loop and only `acc` returned, XLA dead-code-eliminates
+        # the whole backward + optimizer (observed: vjp_ms == 0)
+        return acc + jax.tree_util.tree_reduce(
+            lambda a, b: a + b.sum(), p, 0.0) * 1e-20
 
-    def trace_phase(tag, fn):
-        fn(np.float32(0.0))  # compile outside the trace
-        out = pathlib.Path(args.out) / tag
-        with jax.profiler.trace(str(out)):
-            for rep in range(1, args.reps + 1):
-                fn(np.float32(rep * 1e-6))
-        by_op, total = aggregate_trace(str(out))
-        return by_op, total / args.reps / 1e3  # ms per invocation
+    out = pathlib.Path(args.out)
+    float(full_step(params, opt_state, rest, pts))  # compile outside
+    with jax.profiler.trace(str(out)):
+        for rep in range(1, args.reps + 1):
+            float(full_step(params, opt_state, rest,
+                            pts + np.float32(rep * 1e-6)))
 
-    phases = {}
-    _, phases["fwd"] = trace_phase(
-        "fwd", lambda d: float(fwd_only(params, rest, pts + d)))
-    _, phases["grad"] = trace_phase(
-        "grad", lambda d: float(grad_only(params, rest, pts + d)[1]))
-    by_op, phases["full"] = trace_phase(
-        "full", lambda d: float(full_step(params, opt_state, rest,
-                                          pts + d)[1]))
+    by_op, by_phase, total = aggregate_trace_phased(str(out))
+    full_ms = total / args.reps / 1e3
 
     if jax.devices()[0].platform != "tpu":
         print("\nNOTE: CPU backend — parallel Eigen lanes OVERCOUNT wall "
@@ -149,19 +194,18 @@ def main():
     print(json.dumps({
         "metric": "train_step_phase_profile_ms",
         "batch": B, "points": N,
-        "fwd_ms": round(phases["fwd"], 1),
-        "vjp_ms": round(phases["grad"] - phases["fwd"], 1),
-        "optimizer_ms": round(phases["full"] - phases["grad"], 1),
-        "full_ms": round(phases["full"], 1),
-        "scans_per_s_device": round(B / phases["full"] * 1e3, 1),
+        "fwd_ms": round(by_phase.get("fwd", 0.0) / args.reps / 1e3, 1),
+        "vjp_ms": round(by_phase.get("vjp", 0.0) / args.reps / 1e3, 1),
+        "other_ms": round(by_phase.get("other", 0.0) / args.reps / 1e3, 1),
+        "full_ms": round(full_ms, 1),
+        "scans_per_s_device": round(B / full_ms * 1e3, 1),
     }))
-    total = sum(us for _, us in by_op.items())
-    print(f"\ntop ops, FULL train step ({phases['full']:.1f} ms/step "
+    print(f"\ntop ops, FULL train step ({full_ms:.1f} ms/step "
           f"device-side, b{B}):")
-    print(f"{'op':<72} {'ms/step':>8} {'%':>6}")
-    for name, us in by_op.most_common(args.top):
+    print(f"{'op':<58} {'phase':>6} {'ms/step':>8} {'%':>6}")
+    for (name, phase), us in by_op.most_common(args.top):
         ms = us / args.reps / 1e3
-        print(f"{name[:72]:<72} {ms:8.2f} {100 * us / total:6.2f}")
+        print(f"{name[:58]:<58} {phase:>6} {ms:8.2f} {100 * us / total:6.2f}")
 
 
 if __name__ == "__main__":

@@ -135,11 +135,24 @@ def _bykey_fwd(features, skeys, qkeys, weight, sentinel):
 
 
 def _bykey_bwd(sentinel, res, g):
-    # The backward differentiates the XLA gather reference; the probe is
-    # re-run here (training-only cost — eval never materializes idx).
     features, skeys, qkeys, weight = res
     from . import spconv_pallas
 
+    B, V, C = features.shape
+    K = qkeys.shape[1]
+    Co = weight.shape[-1]
+    if (_use_pallas_gather()
+            and spconv_pallas.bykey_bwd_fits_vmem(B, V, C, Co, K)):
+        # windowed one-hot MXU backward (spconv_pallas._bykey_bwd_kernel)
+        # — replaces ~120 ms/step of serialized XLA row scatters
+        df, dw = spconv_pallas.gather_matmul_bykey_bwd(
+            features, skeys, qkeys, weight, g, sentinel,
+            bf16=compute_dtype() is not None,
+        )
+        return df.astype(features.dtype), None, None, dw.astype(weight.dtype)
+
+    # fallback: differentiate the XLA gather reference (re-probing the
+    # rulebook — eval never materializes idx)
     idx, found = _lookup_batched(skeys, qkeys, sentinel)
     idxm = jnp.where(found, idx, -1)
     _, vjp = jax.vjp(

@@ -27,6 +27,7 @@ forward pallas path carries eval throughput.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -220,6 +221,15 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
     cp = max(C, 128)
     cop = max(Co, 128)
     budget = 15 * 1024 * 1024
+    # Escape hatches for the compile-context-sensitive scoped-VMEM edge:
+    # the 256-channel 27-tap convs' (512, 9) pick compiles standalone and
+    # in eval programs but can exceed the 16 MB scoped stack inside large
+    # training graphs (operand scheduling pressure). TSM_BYKEY_TG_MAX=3
+    # caps the tap group for every auto-picked conv in that process.
+    if tg is None:
+        tg_max = int(os.environ.get("TSM_BYKEY_TG_MAX", "0"))
+        if tg_max and K % tg_max == 0:
+            tg = tg_max
 
     def scoped_estimate(fb, sb_c, tg_c):
         # Scoped-VMEM model, calibrated against a measured 16.20 MB
@@ -309,6 +319,168 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         interpret=interpret,
     )(anchors, qkeys, sk2, features, weight)
     return out[:, :Q, :] if q_pad else out
+
+
+def _bykey_bwd_kernel(anch_ref, qk_ref, sk_ref, f_ref, g_ref, w_ref,
+                      df_ref, dw_ref, *, nsb, dot_dtype, qb, sb, sentinel):
+    """Backward of the fused probe+gather conv, same windowed one-hot
+    structure as _bykey_kernel (the profiled alternative — differentiating
+    the XLA gather reference — spends ~120 ms/train-step in serialized
+    row scatters at TSM scale, 38% of the whole step):
+
+        df[v]  += sum_k onehot_k^T @ (g @ W_k^T)   (transpose-scatter)
+        dW[k]  += (onehot_k @ f)^T @ g             (gather + outer product)
+
+    Both contractions ride the MXU; the monotone key windows confine the
+    one-hot exactly as in the forward. df accumulates f32 into a resident
+    (Vp, C) block (zeroed at each batch's first query block); dW
+    accumulates f32 across the whole grid (zeroed once)."""
+    K = qk_ref.shape[1]
+    c = f_ref.shape[-1]
+    anch = anch_ref[0, 0:1, :]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero_df():
+        df_ref[0] = jnp.zeros_like(df_ref[0])
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _zero_dw():
+        dw_ref[...] = jnp.zeros_like(dw_ref[...])
+
+    gblk = g_ref[0, 0].astype(dot_dtype)                  # (qb, Co)
+
+    def tap(k, _):
+        q = qk_ref[0, pl.ds(k, 1), :].reshape(qb, 1)
+        care = q < sentinel
+        qlo = jnp.min(jnp.where(care, q, _BIG))
+        qhi = jnp.max(jnp.where(care, q, -1))
+        cnt_lo = jnp.sum((anch <= qlo).astype(jnp.int32))
+        cnt_hi = jnp.sum((anch <= qhi).astype(jnp.int32))
+        s0 = jnp.maximum(cnt_lo - 1, 0) * ANCHOR_STRIDE // sb
+        end = jnp.minimum((cnt_hi * ANCHOR_STRIDE + sb - 1) // sb, nsb)
+
+        wk = w_ref[pl.ds(k, 1), :, :].reshape(c, -1)       # (C, Co)
+        gW = jax.lax.dot_general(
+            gblk, wk.astype(dot_dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dot_dtype)                                # (qb, C)
+
+        def cond(cr):
+            return cr[0] < end
+
+        def body(cr):
+            j, gath = cr
+            st = pl.multiple_of(j * sb, sb)
+            kwin = sk_ref[0, 0:1, pl.ds(st, sb)]           # (1, sb)
+            onehot = ((q == kwin) & care).astype(dot_dtype)  # (qb, sb)
+            dfw = jax.lax.dot_general(
+                onehot, gW, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (sb, C)
+            df_ref[0, pl.ds(st, sb), :] += dfw
+            fwin = f_ref[0, pl.ds(st, sb), :].astype(dot_dtype)
+            gath = gath + jnp.dot(onehot, fwin,
+                                  preferred_element_type=jnp.float32)
+            return j + 1, gath
+
+        _, gath = jax.lax.while_loop(
+            cond, body, (s0, jnp.zeros((qb, c), jnp.float32))
+        )
+        dwk = jax.lax.dot_general(
+            gath.astype(dot_dtype), gblk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (C, Co)
+        dw_ref[pl.ds(k, 1), :, :] += dwk[None]
+        return 0
+
+    jax.lax.fori_loop(0, K, tap, 0, unroll=False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sentinel", "interpret", "bf16", "qb",
+                                    "sb"))
+def gather_matmul_bykey_bwd(features, skeys, qkeys, weight, g, sentinel,
+                            interpret=False, bf16=False, qb=QB,
+                            sb=SB_BYKEY):
+    """(d_features, d_weight) of gather_matmul_bykey w.r.t. (features,
+    weight) given output cotangent g (B, Q, Co). Same operand contracts
+    as the forward."""
+    B, V, C = features.shape
+    _, K, Q = qkeys.shape
+    Co = weight.shape[-1]
+
+    v_pad = -V % max(sb, ANCHOR_STRIDE)
+    q_pad = -Q % qb
+    if v_pad:
+        features = jnp.pad(features, ((0, 0), (0, v_pad), (0, 0)))
+        skeys = jnp.pad(skeys, ((0, 0), (0, v_pad)), constant_values=_BIG)
+    if q_pad:
+        qkeys = jnp.pad(qkeys, ((0, 0), (0, 0), (0, q_pad)),
+                        constant_values=_BIG)
+        g = jnp.pad(g, ((0, 0), (0, q_pad), (0, 0)))
+    Vp, Qp = V + v_pad, Q + q_pad
+    nsb = Vp // sb
+    dot_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        features = features.astype(jnp.bfloat16)
+        weight = weight.astype(jnp.bfloat16)
+
+    anchors = skeys[:, ::ANCHOR_STRIDE]
+    a_pad = -anchors.shape[1] % 128
+    if a_pad:
+        anchors = jnp.pad(anchors, ((0, 0), (0, a_pad)),
+                          constant_values=_BIG)
+    anchors = anchors[:, None, :]
+    sk2 = skeys[:, None, :]
+
+    df, dw = pl.pallas_call(
+        functools.partial(_bykey_bwd_kernel, nsb=nsb, dot_dtype=dot_dtype,
+                          qb=qb, sb=sb,
+                          sentinel=np.int32(min(int(sentinel), _BIG))),
+        grid=(B, Qp // qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, anchors.shape[-1]), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, qb), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Vp), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, C), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qb, Co), lambda b, q: (b, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C, Co), lambda b, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Vp, C), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C, Co), lambda b, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Vp, C), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, Co), jnp.float32),
+        ],
+        interpret=interpret,
+    )(anchors, qkeys, sk2, features, g[:, None], weight)
+    return df[:, :V, :], dw
+
+
+def bykey_bwd_fits_vmem(B, V, C, Co, K, sb=SB_BYKEY):
+    """Conservative scoped-VMEM check for the backward kernel: resident
+    f (bf16, x2 across-batch double buffer) + df (f32, x2) + w + dw +
+    per-visit transients, against a 12 MB budget (the kernel is only a
+    win where it fits — callers fall back to the XLA-reference VJP)."""
+    cp = max(C, 128)
+    cop = max(Co, 128)
+    vp = V + (-V % max(sb, ANCHOR_STRIDE))
+    resident = (2 * vp * cp * 2 + 2 * vp * cp * 4
+                + K * C * cop * 2 + K * C * cop * 4
+                + 2 * QB * cop * 4 + 4 * 2 * vp)
+    transient = QB * sb * 2 + 3 * QB * cp * 4 + sb * cp * 4
+    budget_mb = int(os.environ.get("TSM_BYKEY_BWD_BUDGET_MB", "12"))
+    return resident + transient <= budget_mb * 1024 * 1024
 
 
 def _xla_reference(features, idx, weight):
