@@ -164,12 +164,13 @@ def test_bykey_bwd_matches_xla_vjp():
                               w.shape[-1]).astype(np.float32))
     _, vjp = jax.vjp(lambda f, ww: gp._xla_reference(f, idxm, ww), feats, w)
     want_df, want_dw = vjp(g)
-    got_df, got_dw = gp.gather_matmul_bykey_bwd(
-        feats, keys, qk, w, g, sent, interpret=True)
-    np.testing.assert_allclose(np.asarray(got_df), np.asarray(want_df),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw),
-                               rtol=1e-4, atol=1e-4)
+    for tg in (1, 3, 9):  # all tap-group ladder rungs
+        got_df, got_dw = gp.gather_matmul_bykey_bwd(
+            feats, keys, qk, w, g, sent, interpret=True, tg=tg)
+        np.testing.assert_allclose(np.asarray(got_df), np.asarray(want_df),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"tg={tg}")
+        np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"tg={tg}")
 
 
 def test_bykey_bwd_unaligned_and_masked():

@@ -3,6 +3,12 @@ Reference budget: 100 epochs x 3712 scans / ~5 h on a 2080 Ti at b16
 (README.md:132) ~= 20.6 scans/s sustained training throughput.
 """
 import json
+import os
+
+# Training graphs tip the 256-channel bykey convs over the 16 MB scoped-
+# VMEM stack at the plain model's picks (operand relayout copies from
+# while-loop carries); the tight model degrades them one ladder rung.
+os.environ.setdefault("TSM_BYKEY_TIGHT_VMEM", "1")
 import pathlib
 
 import sys

@@ -22,6 +22,9 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
+# see tools/train.py: training graphs need the tight bykey VMEM model
+os.environ.setdefault("TSM_BYKEY_TIGHT_VMEM", "1")
+
 from tools.profile_eval import _GEN, synth_points
 
 

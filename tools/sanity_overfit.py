@@ -20,6 +20,12 @@ Usage: python tools/sanity_overfit.py [--steps 300] [--scale small|full]
 Prints one JSON line per phase + writes the combined artifact to --out.
 """
 import argparse
+import os
+
+# Training graphs tip the 256-channel bykey convs over the 16 MB scoped-
+# VMEM stack at the plain model's picks (operand relayout copies from
+# while-loop carries); the tight model degrades them one ladder rung.
+os.environ.setdefault("TSM_BYKEY_TIGHT_VMEM", "1")
 import json
 import pathlib
 import sys

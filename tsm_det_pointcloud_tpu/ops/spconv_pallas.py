@@ -231,6 +231,17 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         if tg_max and K % tg_max == 0:
             tg = tg_max
 
+    # TSM_BYKEY_TIGHT_VMEM=1 (set by the TRAINING entry points): inside
+    # training graphs, operands reach the kernel in non-native layouts
+    # (while-loop carries) and Mosaic's stack grows by roughly a feature-
+    # block relayout copy + a second weight buffer — measured 16.84 MB
+    # for the (V=4096, C=Co=256, K=27) conv at bf16 (512, 9) where the
+    # plain model says 10.8 MB, a flaky compile-time overflow of the
+    # 16 MB scoped stack. Eval programs compile the plain model's picks
+    # fine (round-2 calibration), so the extra terms are opt-in to avoid
+    # degrading eval throughput.
+    tight = bool(os.environ.get("TSM_BYKEY_TIGHT_VMEM", ""))
+
     def scoped_estimate(fb, sb_c, tg_c):
         # Scoped-VMEM model, calibrated against a measured 16.20 MB
         # allocation for the (V=4096, C=Co=256, K=27) conv at f32: the
@@ -240,6 +251,8 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         # (sb, C) window; lane dims pad to 128.
         resident = (2 * V * cp * fb + K * C * cop * fb
                     + 4 * (K * Q + 2 * V) + 1024)
+        if tight:
+            resident += V * cp * fb + K * C * cop * fb
         transient = (tg_c * qb * sb_c * fb + tg_c * qb * cp * 4
                      + sb_c * cp * fb)
         return resident + transient
@@ -322,7 +335,8 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
 
 
 def _bykey_bwd_kernel(anch_ref, qk_ref, sk_ref, f_ref, g_ref, w_ref,
-                      df_ref, dw_ref, *, nsb, dot_dtype, qb, sb, sentinel):
+                      df_ref, dw_ref, *, nsb, dot_dtype, qb, sb, sentinel,
+                      tg):
     """Backward of the fused probe+gather conv, same windowed one-hot
     structure as _bykey_kernel (the profiled alternative — differentiating
     the XLA gather reference — spends ~120 ms/train-step in serialized
@@ -349,8 +363,17 @@ def _bykey_bwd_kernel(anch_ref, qk_ref, sk_ref, f_ref, g_ref, w_ref,
 
     gblk = g_ref[0, 0].astype(dot_dtype)                  # (qb, Co)
 
-    def tap(k, _):
-        q = qk_ref[0, pl.ds(k, 1), :].reshape(qb, 1)
+    def tap(g_i, _):
+        # tg taps share one window loop, tap-major stacked rows (the same
+        # control-overhead amortization as the forward). The transpose
+        # contraction over all tg*qb rows sums the taps' df contributions
+        # for free.
+        if tg == 1:
+            q = qk_ref[0, pl.ds(g_i, 1), :].reshape(qb, 1)
+        else:
+            q = jnp.concatenate(
+                [qk_ref[0, pl.ds(g_i * tg + t, 1), :].reshape(qb, 1)
+                 for t in range(tg)], 0)
         care = q < sentinel
         qlo = jnp.min(jnp.where(care, q, _BIG))
         qhi = jnp.max(jnp.where(care, q, -1))
@@ -359,11 +382,14 @@ def _bykey_bwd_kernel(anch_ref, qk_ref, sk_ref, f_ref, g_ref, w_ref,
         s0 = jnp.maximum(cnt_lo - 1, 0) * ANCHOR_STRIDE // sb
         end = jnp.minimum((cnt_hi * ANCHOR_STRIDE + sb - 1) // sb, nsb)
 
-        wk = w_ref[pl.ds(k, 1), :, :].reshape(c, -1)       # (C, Co)
-        gW = jax.lax.dot_general(
-            gblk, wk.astype(dot_dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dot_dtype)                                # (qb, C)
+        gws = []
+        for t in range(tg):
+            wk = w_ref[pl.ds(g_i * tg + t, 1), :, :].reshape(c, -1)
+            gws.append(jax.lax.dot_general(
+                gblk, wk.astype(dot_dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dot_dtype))                           # (qb, C)
+        gW = gws[0] if tg == 1 else jnp.concatenate(gws, 0)
 
         def cond(cr):
             return cr[0] < end
@@ -372,7 +398,7 @@ def _bykey_bwd_kernel(anch_ref, qk_ref, sk_ref, f_ref, g_ref, w_ref,
             j, gath = cr
             st = pl.multiple_of(j * sb, sb)
             kwin = sk_ref[0, 0:1, pl.ds(st, sb)]           # (1, sb)
-            onehot = ((q == kwin) & care).astype(dot_dtype)  # (qb, sb)
+            onehot = ((q == kwin) & care).astype(dot_dtype)  # (tg*qb, sb)
             dfw = jax.lax.dot_general(
                 onehot, gW, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -384,30 +410,35 @@ def _bykey_bwd_kernel(anch_ref, qk_ref, sk_ref, f_ref, g_ref, w_ref,
             return j + 1, gath
 
         _, gath = jax.lax.while_loop(
-            cond, body, (s0, jnp.zeros((qb, c), jnp.float32))
+            cond, body, (s0, jnp.zeros((tg * qb, c), jnp.float32))
         )
-        dwk = jax.lax.dot_general(
-            gath.astype(dot_dtype), gblk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (C, Co)
-        dw_ref[pl.ds(k, 1), :, :] += dwk[None]
+        for t in range(tg):
+            gath_t = (gath if tg == 1 else jax.lax.slice(
+                gath, (t * qb, 0), ((t + 1) * qb, c)))
+            dwk = jax.lax.dot_general(
+                gath_t.astype(dot_dtype), gblk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (C, Co)
+            dw_ref[pl.ds(g_i * tg + t, 1), :, :] += dwk[None]
         return 0
 
-    jax.lax.fori_loop(0, K, tap, 0, unroll=False)
+    jax.lax.fori_loop(0, K // tg, tap, 0, unroll=False)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sentinel", "interpret", "bf16", "qb",
-                                    "sb"))
+                                    "sb", "tg"))
 def gather_matmul_bykey_bwd(features, skeys, qkeys, weight, g, sentinel,
                             interpret=False, bf16=False, qb=QB,
-                            sb=SB_BYKEY):
+                            sb=SB_BYKEY, tg=None):
     """(d_features, d_weight) of gather_matmul_bykey w.r.t. (features,
     weight) given output cotangent g (B, Q, Co). Same operand contracts
     as the forward."""
     B, V, C = features.shape
     _, K, Q = qkeys.shape
     Co = weight.shape[-1]
+    if tg is None:
+        tg = bykey_bwd_plan(B, V, C, Co, K, qb=qb, sb=sb) or 1
 
     v_pad = -V % max(sb, ANCHOR_STRIDE)
     q_pad = -Q % qb
@@ -435,7 +466,7 @@ def gather_matmul_bykey_bwd(features, skeys, qkeys, weight, g, sentinel,
 
     df, dw = pl.pallas_call(
         functools.partial(_bykey_bwd_kernel, nsb=nsb, dot_dtype=dot_dtype,
-                          qb=qb, sb=sb,
+                          qb=qb, sb=sb, tg=tg,
                           sentinel=np.int32(min(int(sentinel), _BIG))),
         grid=(B, Qp // qb),
         in_specs=[
@@ -467,20 +498,33 @@ def gather_matmul_bykey_bwd(features, skeys, qkeys, weight, g, sentinel,
     return df[:, :V, :], dw
 
 
-def bykey_bwd_fits_vmem(B, V, C, Co, K, sb=SB_BYKEY):
-    """Conservative scoped-VMEM check for the backward kernel: resident
-    f (bf16, x2 across-batch double buffer) + df (f32, x2) + w + dw +
-    per-visit transients, against a 12 MB budget (the kernel is only a
-    win where it fits — callers fall back to the XLA-reference VJP)."""
+def bykey_bwd_plan(B, V, C, Co, K, qb=QB, sb=SB_BYKEY):
+    """Largest tap group (9/3/1) whose backward-kernel scoped-VMEM
+    estimate fits the budget, or None when nothing fits (callers fall
+    back to the XLA-reference VJP). Residents: f (bf16, x2 across-batch
+    double buffer) + df (f32, x2) + w + dw + g block; transients scale
+    with tg (tap-major one-hot, gather carry, stacked gW)."""
     cp = max(C, 128)
     cop = max(Co, 128)
     vp = V + (-V % max(sb, ANCHOR_STRIDE))
     resident = (2 * vp * cp * 2 + 2 * vp * cp * 4
                 + K * C * cop * 2 + K * C * cop * 4
-                + 2 * QB * cop * 4 + 4 * 2 * vp)
-    transient = QB * sb * 2 + 3 * QB * cp * 4 + sb * cp * 4
+                + 2 * qb * cop * 4 + 4 * 2 * vp)
     budget_mb = int(os.environ.get("TSM_BYKEY_BWD_BUDGET_MB", "12"))
-    return resident + transient <= budget_mb * 1024 * 1024
+    budget = budget_mb * 1024 * 1024
+    for tg in (9, 3, 1):
+        if K % tg:
+            continue
+        transient = (tg * qb * sb * 2 + 2 * tg * qb * cp * 4
+                     + tg * qb * cp * 2 + sb * cp * 2 + sb * cp * 4
+                     + qb * cop * 2)
+        if resident + transient <= budget:
+            return tg
+    return None
+
+
+def bykey_bwd_fits_vmem(B, V, C, Co, K, sb=SB_BYKEY):
+    return bykey_bwd_plan(B, V, C, Co, K, sb=sb) is not None
 
 
 def _xla_reference(features, idx, weight):
