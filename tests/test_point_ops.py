@@ -182,6 +182,16 @@ def test_fps_block_pruned_bitwise_vs_xla_oracle():
             )
         )
         np.testing.assert_array_equal(ref, got)
+        # full-sweep mode (sync-free unconditional block loop) must stay
+        # bitwise-identical — it only changes WHICH blocks are visited
+        # (all of them), never the math
+        got_fs = np.asarray(
+            furthest_point_sample_block_pruned(
+                jnp.asarray(xyz), M, jnp.asarray(mask), interpret=True,
+                full_sweep=True,
+            )
+        )
+        np.testing.assert_array_equal(ref, got_fs)
 
 
 def test_fps_block_pruned_duplicate_points_ties():

@@ -23,19 +23,29 @@ import numpy as np
 from tools.bench_timing import measure_per_iter
 
 
-def bench_case(name, B, N, M, kind="pallas", n_small=2, n_big=6):
+def bench_case(name, B, N, M, kind="pallas", n_small=2, n_big=6,
+               dist="uniform", full_sweep=False):
     from tsm_det_pointcloud_tpu.ops import fps_pallas
 
     rng = np.random.RandomState(0)
-    pts = rng.uniform(-40, 40, (B, N, 3)).astype(np.float32)
-    pts[..., 2] = rng.uniform(-2, 1, (B, N))
+    if dist == "bench":
+        # the clustered eval-bench distribution (tools/profile_eval.py
+        # synth_points, Waymo extents) — pruning behaves differently on
+        # clusters vs uniform (round-2 negative-results log)
+        from tools.profile_eval import synth_points
+
+        pts = synth_points(B, N, nf=3) * np.float32([2.0, 2.0, 1.0])
+    else:
+        pts = rng.uniform(-40, 40, (B, N, 3)).astype(np.float32)
+        pts[..., 2] = rng.uniform(-2, 1, (B, N))
 
     if kind == "pallas":
         fps = functools.partial(fps_pallas.furthest_point_sample_pallas,
                                 npoint=M)
     else:
         fps = functools.partial(
-            fps_pallas.furthest_point_sample_block_pruned, npoint=M)
+            fps_pallas.furthest_point_sample_block_pruned, npoint=M,
+            full_sweep=full_sweep)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(x, n):
@@ -59,12 +69,17 @@ def main():
     ap.add_argument("--waymo-only", action="store_true")
     ap.add_argument("--kind", default="pallas",
                     choices=["pallas", "block"])
+    ap.add_argument("--dist", default="uniform",
+                    choices=["uniform", "bench"])
+    ap.add_argument("--full-sweep", action="store_true")
     args = ap.parse_args()
     print("devices:", jax.devices())
     if not args.waymo_only:
-        bench_case("KITTI layer0 (b16)", 16, 16384, 4096, kind=args.kind)
+        bench_case("KITTI layer0 (b16)", 16, 16384, 4096, kind=args.kind,
+                   dist=args.dist, full_sweep=args.full_sweep)
     bench_case("Waymo layer0 (b8)", 8, 122880, 16384, kind=args.kind,
-               n_small=1, n_big=3)
+               n_small=1, n_big=3, dist=args.dist,
+               full_sweep=args.full_sweep)
 
 
 if __name__ == "__main__":

@@ -194,7 +194,7 @@ _RG = _BS // 128    # sublane rows per coordinate group in the packed (4*_RG, 12
 _NBIG = np.int32(2 ** 30)
 
 
-def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
+def _fps_block_kernel(n_steps, nb, full_sweep, pk_ref, init_ref,
                       bbox_ref, wb0_ref, out_ref, mind_ref):
     """One batch row per program. Refs:
       pk_ref      (1, NB, 32, 128) f32  Morton-sorted blocks, packed as four
@@ -288,23 +288,40 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
         bm = jnp.where(lanes == wb, bmax, bm)
         barg = jnp.where(lanes == wb, tie, barg)
 
-        gx = jnp.maximum(jnp.maximum(lox - xj, xj - hix), 0.0)
-        gy = jnp.maximum(jnp.maximum(loy - yj, yj - hiy), 0.0)
-        gz = jnp.maximum(jnp.maximum(loz - zj, zj - hiz), 0.0)
-        g2 = gx * gx + gy * gy + gz * gz
-        act = (g2 < bm) & (lanes != wb)                 # (1, nbl) bool
+        if full_sweep:
+            # Unconditional static-trip sweep over EVERY block: no act
+            # mask, no find() — the pruned path pays an SREG sync
+            # (~100 cycles) per ACTIVE block to extract the next index,
+            # which only wins when the active fraction is small. On the
+            # Waymo bench distribution (122,880 clustered points, 120
+            # blocks) ~70% of blocks stay active per step, so the
+            # sync-free pipelined loop is faster despite touching all
+            # blocks. Re-updating the own block is idempotent (same m2).
+            def upd_all(g, st):
+                bm, barg = st
+                return _upd_block(g, xj, yj, zj, bm, barg)
 
-        def find(cur):
-            return jnp.min(jnp.where(act & (lanes >= cur), lanes, nb))
+            bm, barg = jax.lax.fori_loop(
+                0, nb, upd_all, (bm, barg), unroll=False
+            )
+        else:
+            gx = jnp.maximum(jnp.maximum(lox - xj, xj - hix), 0.0)
+            gy = jnp.maximum(jnp.maximum(loy - yj, yj - hiy), 0.0)
+            gz = jnp.maximum(jnp.maximum(loz - zj, zj - hiz), 0.0)
+            g2 = gx * gx + gy * gy + gz * gz
+            act = (g2 < bm) & (lanes != wb)             # (1, nbl) bool
 
-        def upd(st):
-            g, bm, barg = st
-            bm, barg = _upd_block(g, xj, yj, zj, bm, barg)
-            return find(g + 1), bm, barg
+            def find(cur):
+                return jnp.min(jnp.where(act & (lanes >= cur), lanes, nb))
 
-        _, bm, barg = jax.lax.while_loop(
-            lambda st: st[0] < nb, upd, (find(0), bm, barg)
-        )
+            def upd(st):
+                g, bm, barg = st
+                bm, barg = _upd_block(g, xj, yj, zj, bm, barg)
+                return find(g + 1), bm, barg
+
+            _, bm, barg = jax.lax.while_loop(
+                lambda st: st[0] < nb, upd, (find(0), bm, barg)
+            )
 
         kmax = jnp.max(bm, axis=1, keepdims=True)       # (1, 1)
         hitb = bm == kmax
@@ -331,10 +348,11 @@ def _fps_block_kernel(n_steps, nb, pk_ref, init_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("npoint", "cell", "interpret")
+    jax.jit, static_argnames=("npoint", "cell", "interpret", "full_sweep")
 )
 def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
-                                       cell=1.0, interpret=False):
+                                       cell=1.0, interpret=False,
+                                       full_sweep=False):
     """Exact d-fps via Morton-block pruning: (B, N, 3) -> (B, npoint) i32.
     Bitwise-equal to sampling._furthest_point_sample_xla; intended for
     N >= ~64k where the lockstep kernel's full sweeps dominate."""
@@ -406,7 +424,7 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
     packed = jnp.concatenate(
         [blk(xs), blk(ys), blk(zs), blk(ois.astype(jnp.float32))], axis=2
     )                                           # (B, nb, 32, 128)
-    kernel = functools.partial(_fps_block_kernel, mp, nb)
+    kernel = functools.partial(_fps_block_kernel, mp, nb, full_sweep)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
