@@ -4,17 +4,17 @@ Same flags where meaningful; torch.distributed launchers are replaced by
 JAX process initialization (single-process covers 1 chip; multi-host pods
 initialize via jax.distributed when JAX_COORDINATOR is set).
 """
+from __future__ import annotations
+
 import os
 
 # Training graphs tip the 256-channel bykey convs over the 16 MB scoped-
 # VMEM stack at the plain model's picks (operand relayout copies from
 # while-loop carries); the tight model degrades them one ladder rung.
 os.environ.setdefault("TSM_BYKEY_TIGHT_VMEM", "1")
-from __future__ import annotations
 
 import argparse
 import datetime
-import os
 import sys
 from pathlib import Path
 
