@@ -28,19 +28,6 @@ def lid_to_bin(depth, num_bins, depth_min, depth_max):
     return jnp.clip(idx, 0, num_bins - 1).astype(jnp.int32)
 
 
-class ConvBlock(nn.Module):
-    ch: int
-    stride: int = 1
-
-    @nn.compact
-    def __call__(self, x, training=False):
-        x = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride),
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                         epsilon=1e-3)(x)
-        return nn.relu(x)
-
-
 class ImageVFE(nn.Module):
     """Image backbone + depth head + frustum-to-voxel gather."""
     model_cfg: dict
@@ -62,15 +49,19 @@ class ImageVFE(nn.Module):
         C = self.get_output_feature_dim()
         ds = self.downsample_factor
 
-        # --- image backbone (compact DDN stand-in; the reference wraps a
-        # torchvision DeepLabV3-ResNet101, ffn/ddn_deeplabv3.py) ---
-        x = ConvBlock(32, 2)(images, training)
-        x = ConvBlock(32)(x, training)
-        x = ConvBlock(64, 2)(x, training)
-        x = ConvBlock(64)(x, training)
-        x = ConvBlock(C, 2)(x, training)
-        feats = ConvBlock(C)(x, training)          # (B, H/8, W/8, C)
-        depth_logits = nn.Conv(D, (1, 1), name="depth_head")(feats)
+        # --- image backbone / DDN (registry: ddn.py). Default stays the
+        # compact stand-in; DDN.NAME == 'DDNDeepLabV3' selects the real
+        # ResNet+ASPP architecture (reference ffn/ddn_deeplabv3.py —
+        # untrained here: pretrained ImageNet weights are unportable
+        # without egress, the documented delta) ---
+        from .ddn import DDN_REGISTRY
+
+        ddn_cfg = dict(cfg.get("DDN", {}))
+        ddn_name = ddn_cfg.pop("NAME", "CompactDDN")
+        kw = {k.lower(): v for k, v in ddn_cfg.items()}
+        feats, depth_logits = DDN_REGISTRY[ddn_name](
+            num_feat=C, num_logits=D, name="ddn", **kw
+        )(images, training)
         depth_prob = jax.nn.softmax(depth_logits, axis=-1)
 
         B, hf, wf, _ = feats.shape
@@ -140,7 +131,36 @@ class ImageVFE(nn.Module):
             nll = -jnp.take_along_axis(logp, bins[..., None], -1)[..., 0]
             pt = jnp.exp(-nll)
             focal = ((1 - pt) ** 2) * nll           # focal depth loss
-            batch_dict["loss_depth"] = (
-                (focal * oks).sum() / jnp.maximum(oks.sum(), 1.0)
-            )
+            if "gt_boxes2d" in batch_dict:
+                # fg/bg balancer (parity: ffn/ddn_loss/balancer.py):
+                # points projecting inside a gt 2D box weigh FG_WEIGHT,
+                # the rest BG_WEIGHT; fg and bg sums each normalize by
+                # the total supervised count
+                fg_w = float(cfg.get("FG_WEIGHT", 13.0))
+                bg_w = float(cfg.get("BG_WEIGHT", 1.0))
+                b2d = batch_dict["gt_boxes2d"]       # (B, Nb, 4) u1v1u2v2
+                b2m = batch_dict.get(
+                    "gt_boxes2d_mask",
+                    jnp.any(b2d != 0, axis=-1),
+                )
+                uf = us.astype(jnp.float32) * ds
+                vf = vs.astype(jnp.float32) * ds
+                inb = (
+                    (uf[:, :, None] >= b2d[:, None, :, 0])
+                    & (uf[:, :, None] < b2d[:, None, :, 2])
+                    & (vf[:, :, None] >= b2d[:, None, :, 1])
+                    & (vf[:, :, None] < b2d[:, None, :, 3])
+                    & b2m[:, None, :]
+                ).any(-1)                            # (B, P)
+                fg = inb & oks
+                bg = (~inb) & oks
+                total = jnp.maximum(oks.sum(), 1.0)
+                batch_dict["loss_depth"] = (
+                    (focal * fg * fg_w).sum() / total
+                    + (focal * bg * bg_w).sum() / total
+                )
+            else:
+                batch_dict["loss_depth"] = (
+                    (focal * oks).sum() / jnp.maximum(oks.sum(), 1.0)
+                )
         return batch_dict
