@@ -124,10 +124,12 @@ def _gather_matmul_fwd(features, idx, weight, interpret=False, bf16=False,
 
 
 _BIG = np.int32(2**31 - 1)
-ANCHOR_STRIDE = 256  # row-rank granularity of the key-window bound
+ANCHOR_STRIDE = 128  # row-rank granularity of the key-window bound; 128 =
+                     # one lane-dim vreg, so dynamic window starts stay
+                     # vreg-aligned (no relayout on the kwin lane slice)
 
 
-def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
+def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, v_hi,
                   out_dtype, dot_dtype, qb, sb, sentinel, tg):
     """Fused probe+gather: one-hot match on voxel KEYS instead of probed
     slot indices. The window of source rows that can match a block of
@@ -135,6 +137,17 @@ def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
     <= the block's min/max care key — rows before the last anchor <= min
     are strictly smaller (keys are strictly ascending on the valid
     prefix), rows from the first anchor > max are strictly larger.
+
+    Windows start at the 128-aligned row of the first possible match
+    (not at absolute sb-grid multiples): a qb-query block's matching rows
+    span ~qb rows by density, so one sb=512 visit usually covers the
+    whole tap group where the sb-quantized loop needed two (the compare
+    work per visit — (tg*qb, sb) lanes — is what the kernel is bound on).
+
+    The caller remaps invalid source keys (the sentinel tail) to _BIG and
+    pads qkeys with `sentinel`, so equality alone is exact — no per-window
+    care mask: invalid q rows (== sentinel) match nothing because no
+    source row holds `sentinel`.
 
     `tg` taps share one window loop (rows of the one-hot are tap-major
     stacked). Taps are x-fastest (ops/spconv.kernel_offsets) and keys are
@@ -160,29 +173,34 @@ def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, nsb,
             q = jnp.concatenate(
                 [qk_ref[0, pl.ds(g_i * tg + t, 1), :].reshape(qb, 1)
                  for t in range(tg)], 0)
+        # bounds still mask invalid rows (== sentinel, which is larger
+        # than every valid key and would drag qhi to the array end) —
+        # but only here, on (tg*qb, 1) lanes once per tap group, not on
+        # the (tg*qb, sb) one-hot every window visit
         care = q < sentinel
         qlo = jnp.min(jnp.where(care, q, _BIG))
         qhi = jnp.max(jnp.where(care, q, -1))
-        cnt_lo = jnp.sum((anch <= qlo).astype(jnp.int32))
-        cnt_hi = jnp.sum((anch <= qhi).astype(jnp.int32))
-        s0 = jnp.maximum(cnt_lo - 1, 0) * ANCHOR_STRIDE // sb
-        end = jnp.minimum((cnt_hi * ANCHOR_STRIDE + sb - 1) // sb, nsb)
+        row0 = jnp.maximum(
+            jnp.sum((anch <= qlo).astype(jnp.int32)) - 1, 0
+        ) * ANCHOR_STRIDE
+        row_end = jnp.sum((anch <= qhi).astype(jnp.int32)) * ANCHOR_STRIDE
+        row_end = jnp.minimum(row_end, v_hi)
 
         def cond(cr):
-            return cr[0] < end
+            return cr[0] < row_end
 
         def body(cr):
-            j, g = cr
-            st = pl.multiple_of(j * sb, sb)
+            r, g = cr
+            st = pl.multiple_of(r, ANCHOR_STRIDE)
             kwin = sk_ref[0, 0:1, pl.ds(st, sb)]          # (1, sb)
-            onehot = ((q == kwin) & care).astype(dot_dtype)
+            onehot = (q == kwin).astype(dot_dtype)
             fwin = f_ref[0, pl.ds(st, sb), :].astype(dot_dtype)
-            return j + 1, g + jnp.dot(
+            return r + sb, g + jnp.dot(
                 onehot, fwin, preferred_element_type=jnp.float32
             )
 
         _, g = jax.lax.while_loop(
-            cond, body, (s0, jnp.zeros((tg * qb, c), jnp.float32))
+            cond, body, (row0, jnp.zeros((tg * qb, c), jnp.float32))
         )
         for t in range(tg):
             wk = w_ref[pl.ds(g_i * tg + t, 1), :, :].reshape(c, co)
@@ -249,8 +267,9 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         # resident once (fb bytes when pre-cast to bf16), transients are
         # the (tg*qb, sb) one-hot + f32 (tg*qb, C) accumulator +
         # (sb, C) window; lane dims pad to 128.
-        resident = (2 * V * cp * fb + K * C * cop * fb
-                    + 4 * (K * Q + 2 * V) + 1024)
+        vp_c = V + ANCHOR_STRIDE + sb_c  # incl. window-slack padding
+        resident = (2 * vp_c * cp * fb + K * C * cop * fb
+                    + 4 * (K * Q + 2 * vp_c) + 1024)
         if tight:
             resident += V * cp * fb + K * C * cop * fb
         transient = (tg_c * qb * sb_c * fb + tg_c * qb * cp * 4
@@ -283,16 +302,25 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
                          if scoped_estimate(2, *c) <= budget), cands[-1])
         sb, tg = pick if pick is not None else cands[-1]
 
-    v_pad = -V % max(sb, ANCHOR_STRIDE)
+    # invalid source rows (the linearize sentinel tail) -> _BIG so the
+    # window body needs no care mask: invalid TARGET keys are exactly
+    # `sentinel`, which after this remap no source row can hold. Windows
+    # start at 128-aligned rows (not sb-grid multiples), so pad an extra
+    # sb rows of slack beyond the 128-rounded V for the last window read.
+    sent_i32 = np.int32(min(int(sentinel), int(_BIG)))
+    skeys = jnp.where(skeys >= sent_i32, _BIG, skeys)
+    # normalize every invalid target key to exactly `sentinel` (callers
+    # may pass any value >= sentinel; _BIG would match the pad rows)
+    qkeys = jnp.where(qkeys >= sent_i32, sent_i32, qkeys)
+    v_pad = (-V % ANCHOR_STRIDE) + sb
     q_pad = -Q % qb
-    if v_pad:
-        features = jnp.pad(features, ((0, 0), (0, v_pad), (0, 0)))
-        skeys = jnp.pad(skeys, ((0, 0), (0, v_pad)), constant_values=_BIG)
+    features = jnp.pad(features, ((0, 0), (0, v_pad), (0, 0)))
+    skeys = jnp.pad(skeys, ((0, 0), (0, v_pad)), constant_values=_BIG)
     if q_pad:
         qkeys = jnp.pad(qkeys, ((0, 0), (0, 0), (0, q_pad)),
-                        constant_values=_BIG)
+                        constant_values=sent_i32)
     Vp, Qp = V + v_pad, Q + q_pad
-    nsb = Vp // sb
+    v_hi = Vp - sb  # 128-aligned cap on window starts (st + sb <= Vp)
     if not bf16 and Vp * max(C, 128) * 4 * 2 > 12 * 1024 * 1024:
         _warn_forced_bf16(Vp, C)
         bf16 = True
@@ -310,9 +338,9 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
     sk2 = skeys[:, None, :]                                # (B, 1, Vp)
 
     out = pl.pallas_call(
-        functools.partial(_bykey_kernel, nsb=nsb, out_dtype=out_dtype,
+        functools.partial(_bykey_kernel, v_hi=v_hi, out_dtype=out_dtype,
                           dot_dtype=dot_dtype, qb=qb, sb=sb, tg=tg,
-                          sentinel=np.int32(min(int(sentinel), _BIG))),
+                          sentinel=sent_i32),
         grid=(B, Qp // qb),
         in_specs=[
             pl.BlockSpec((1, 1, anchors.shape[-1]), lambda b, q: (b, 0, 0),
