@@ -104,3 +104,64 @@ def test_lyft_and_pandaset_loaders(tmp_path):
     ds2 = PandasetDataset(cfg2, class_names=["car"], training=True,
                           root_path=tmp_path)
     assert len(ds2) == 1 and ds2[0]["points"].shape == (128, 4)
+
+
+def test_nuscenes_evaluation_official_nds(tmp_path):
+    """The loader's evaluation() returns the OFFICIAL NDS (hermetic
+    protocol), not a substituted matcher; the waymo branch is labeled."""
+    from tsm_det_pointcloud_tpu.datasets.nuscenes.nuscenes_dataset import (
+        NuScenesDataset,
+    )
+
+    version_dir = tmp_path / "v1.0-trainval"
+    version_dir.mkdir()
+    _lidar_bin(version_dir / "frame0.bin")
+    infos = [{
+        "lidar_path": "frame0.bin", "token": "t0", "sweeps": [],
+        "gt_boxes": np.asarray([[5, 0, 0, 4, 2, 1.5, 0.3]], np.float32),
+        "gt_names": np.asarray(["car"], object),
+        "num_lidar_pts": np.asarray([30]),
+    }]
+    with open(version_dir / "infos_train.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    cfg = EDict({**BASE_CFG, "DATASET": "NuScenesDataset",
+                 "VERSION": "v1.0-trainval", "DATA_PATH": str(tmp_path),
+                 "INFO_PATH": {"train": ["infos_train.pkl"],
+                               "test": ["infos_train.pkl"]}})
+    ds = NuScenesDataset(cfg, class_names=["car"], training=False,
+                         root_path=tmp_path)
+    det = [{"name": np.asarray(["car"], object),
+            "score": np.asarray([0.9]),
+            "boxes_lidar": np.asarray([[5, 0, 0, 4, 2, 1.5, 0.3]])}]
+    s, ret = ds.evaluation(det, ["car"])
+    assert ret["NDS"] == pytest.approx(0.8, abs=1e-6)  # perfect, no vel
+    assert ret["mAP"] == pytest.approx(1.0, abs=1e-6)
+    s2, _ = ds.evaluation(det, ["car"], eval_metric="waymo")
+    assert "NON-OFFICIAL" in s2
+
+
+def test_lyft_evaluation_official_and_kitti(tmp_path):
+    from tsm_det_pointcloud_tpu.datasets.lyft.lyft_dataset import LyftDataset
+
+    _lidar_bin(tmp_path / "f0.bin", dims=5)
+    infos = [{
+        "lidar_path": "f0.bin",
+        "gt_boxes": np.asarray([[5, 0, 0, 4, 2, 1.5, 0.3]], np.float32),
+        "gt_names": np.asarray(["car"], object),
+    }]
+    with open(tmp_path / "infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    cfg = EDict({**BASE_CFG, "DATASET": "LyftDataset",
+                 "DATA_PATH": str(tmp_path),
+                 "INFO_PATH": {"train": ["infos.pkl"],
+                               "test": ["infos.pkl"]}})
+    ds = LyftDataset(cfg, class_names=["car"], training=False,
+                     root_path=tmp_path)
+    det = [{"name": np.asarray(["car"], object),
+            "score": np.asarray([0.9]),
+            "boxes_lidar": np.asarray([[5, 0, 0, 4, 2, 1.5, 0.3]])}]
+    s, ret = ds.evaluation(det, ["car"], eval_metric="lyft")
+    assert ret["car"] == pytest.approx(1.0, abs=1e-6)  # exact box: IoU 1
+    assert ret["mAP"] == pytest.approx(1.0, abs=1e-6)
+    s2, ret2 = ds.evaluation(det, ["car"], eval_metric="kitti")
+    assert "Car" in s2 and any("Car" in k for k in ret2)

@@ -1,10 +1,18 @@
 """Lyft Level-5 dataset loader.
 
 Parity: pcdet/datasets/lyft/lyft_dataset.py (345 L + utils): info pkls,
-multi-sweep lidar (5-dim points), same prepare_data pipeline. The
-lyft-devkit-dependent info creation and official mAP eval are gated —
-preprocess with the devkit offline; matching-protocol metrics come from
-the shared host evaluator.
+multi-sweep lidar accumulation with a per-sweep time-lag channel
+(get_lidar_with_sweeps :58-81), the same prepare_data pipeline, and BOTH
+official evaluation paths (evaluation :178-187):
+
+* eval_metric 'lyft'  -> official Lyft 3D-IoU mAP over the configured
+  threshold list, via the hermetic protocol rebuild in
+  eval/lyft_eval.py (reference delegates to its vendored toolkit copy).
+* eval_metric 'kitti' -> official KITTI AP over pseudo-KITTI annos
+  (reference kitti_eval :189-213 + kitti_utils transform).
+
+The lyft-devkit-dependent info creation stays gated (preprocess with the
+devkit offline); everything downstream of the info pkls is hermetic.
 """
 from __future__ import annotations
 
@@ -15,6 +23,14 @@ from pathlib import Path
 import numpy as np
 
 from ..dataset import DatasetTemplate
+
+MAP_NAME_TO_KITTI = {
+    "car": "Car",
+    "pedestrian": "Pedestrian",
+    "truck": "Truck",
+    "bicycle": "Cyclist",
+    "motorcycle": "Cyclist",
+}
 
 
 class LyftDataset(DatasetTemplate):
@@ -38,10 +54,38 @@ class LyftDataset(DatasetTemplate):
                 "Total samples for Lyft dataset: %d" % len(self.infos)
             )
 
-    def get_lidar(self, info):
-        lidar_path = self.root_path / info["lidar_path"]
-        points = np.fromfile(str(lidar_path), dtype=np.float32)
-        return points.reshape(-1, 5)[:, :4]
+    def get_sweep(self, sweep_info):
+        """One auxiliary sweep: drop ego-radius points, transform into the
+        key frame, return (points, time_lags)."""
+        lidar_path = self.root_path / sweep_info["lidar_path"]
+        pts = np.fromfile(str(lidar_path), dtype=np.float32).reshape(-1, 5)
+        pts = pts[:, :4]
+        near = (np.abs(pts[:, 0]) < 1.0) & (np.abs(pts[:, 1]) < 1.0)
+        pts = pts[~near]
+        tm = sweep_info.get("transform_matrix")
+        if tm is not None:
+            hom = np.concatenate(
+                [pts[:, :3], np.ones((len(pts), 1), pts.dtype)], axis=1)
+            pts[:, :3] = (hom @ np.asarray(tm, pts.dtype).T)[:, :3]
+        times = np.full((len(pts), 1), sweep_info["time_lag"], pts.dtype)
+        return pts, times
+
+    def get_lidar_with_sweeps(self, index, max_sweeps=1):
+        info = self.infos[index]
+        pts = np.fromfile(
+            str(self.root_path / info["lidar_path"]), dtype=np.float32
+        ).reshape(-1, 5)[:, :4]
+        sweep_points = [pts]
+        sweep_times = [np.zeros((len(pts), 1), pts.dtype)]
+        sweeps = info.get("sweeps", [])
+        take = min(max_sweeps - 1, len(sweeps))
+        for k in np.random.choice(len(sweeps), take, replace=False):
+            p, t = self.get_sweep(sweeps[k])
+            sweep_points.append(p)
+            sweep_times.append(t)
+        pts = np.concatenate(sweep_points, axis=0)
+        times = np.concatenate(sweep_times, axis=0).astype(pts.dtype)
+        return np.concatenate([pts, times], axis=1)
 
     def __len__(self):
         if self._merge_all_iters_to_one_epoch:
@@ -52,8 +96,11 @@ class LyftDataset(DatasetTemplate):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.infos)
         info = copy.deepcopy(self.infos[index])
+        points = self.get_lidar_with_sweeps(
+            index, max_sweeps=self.dataset_cfg.get("MAX_SWEEPS", 1)
+        )
         input_dict = {
-            "points": self.get_lidar(info),
+            "points": points,
             "frame_id": Path(info["lidar_path"]).stem,
         }
         if "gt_boxes" in info:
@@ -76,13 +123,55 @@ class LyftDataset(DatasetTemplate):
             batch_dict, pred_dicts, class_names, output_path
         )
 
+    def kitti_eval(self, det_annos, class_names):
+        """Official KITTI AP over pseudo-KITTI annos (reference
+        lyft_dataset.py:189-213)."""
+        from ...eval.kitti_eval import get_official_eval_result
+        from ..kitti.kitti_format import to_kitti_format
+
+        dt = to_kitti_format(det_annos, MAP_NAME_TO_KITTI)
+        gt = to_kitti_format(
+            [{"name": np.asarray(i["gt_names"], object),
+              "gt_boxes_lidar": np.asarray(i["gt_boxes"])[:, :7]}
+             for i in self.infos],
+            MAP_NAME_TO_KITTI,
+        )
+        kitti_classes = sorted(
+            {MAP_NAME_TO_KITTI[c] for c in class_names
+             if c in MAP_NAME_TO_KITTI}
+        )
+        return get_official_eval_result(gt, dt, kitti_classes)
+
     def evaluation(self, det_annos, class_names, **kwargs):
         if "gt_boxes" not in self.infos[0]:
             return "No ground-truth boxes for evaluation", {}
-        from ...eval.waymo_eval import waymo_evaluation
+        metric = kwargs.get("eval_metric", "lyft")
+        if metric == "kitti":
+            return self.kitti_eval(copy.deepcopy(det_annos), class_names)
+        if metric == "lyft":
+            from ...eval.lyft_eval import lyft_evaluation
 
-        gt_annos = [{
-            "name": np.asarray(info["gt_names"], object),
-            "gt_boxes_lidar": np.asarray(info["gt_boxes"])[:, :7],
-        } for info in self.infos]
-        return waymo_evaluation(gt_annos, det_annos, tuple(class_names))
+            gt_annos = [{
+                "name": np.asarray(info["gt_names"], object),
+                "gt_boxes_lidar": np.asarray(info["gt_boxes"])[:, :7],
+            } for info in self.infos]
+            return lyft_evaluation(
+                gt_annos, det_annos, list(class_names),
+                iou_thresholds=self.dataset_cfg.get(
+                    "EVAL_LYFT_IOU_LIST",
+                    [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95],
+                ),
+                version=self.dataset_cfg.get("VERSION", "trainval"),
+            )
+        if metric == "waymo":
+            from ...eval.waymo_eval import waymo_evaluation
+
+            gt_annos = [{
+                "name": np.asarray(info["gt_names"], object),
+                "gt_boxes_lidar": np.asarray(info["gt_boxes"])[:, :7],
+            } for info in self.infos]
+            s, d = waymo_evaluation(gt_annos, det_annos, tuple(class_names))
+            return ("[NON-OFFICIAL metric: Waymo matching protocol, NOT "
+                    "Lyft mAP — do not compare to published numbers]\n" + s,
+                    d)
+        raise NotImplementedError(metric)

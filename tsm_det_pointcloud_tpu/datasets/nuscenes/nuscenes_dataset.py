@@ -182,22 +182,37 @@ class NuScenesDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """Matching-protocol metrics via the shared host evaluator; the
-        official NDS needs the nuscenes-devkit (run offline on result.pkl)."""
+        """Official NuScenes NDS through the hermetic protocol rebuild
+        (eval/nuscenes_eval.py — the same metric the reference computes
+        via the devkit's NuScenesEval + detection_cvpr_2019 config,
+        reference nuscenes_dataset.py:229-252). Set eval_metric='waymo'
+        to use the Waymo matching protocol instead (clearly labeled —
+        NOT comparable to published NDS numbers)."""
         if "gt_boxes" not in self.infos[0]:
             return "No ground-truth boxes for evaluation", {}
-        from ...eval.waymo_eval import waymo_evaluation
-
         gt_annos = []
         for info in self.infos:
             gt_annos.append({
                 "name": np.asarray(info["gt_names"], object),
-                "gt_boxes_lidar": np.asarray(info["gt_boxes"])[:, :7],
-                "num_points_in_gt": np.asarray(
+                "gt_boxes_lidar": np.asarray(info["gt_boxes"]),
+                "num_lidar_pts": np.asarray(
                     info.get("num_lidar_pts", [99] * len(info["gt_names"]))
                 ),
             })
-        return waymo_evaluation(gt_annos, det_annos, tuple(class_names))
+        if kwargs.get("eval_metric") == "waymo":
+            from ...eval.waymo_eval import waymo_evaluation
+
+            s, d = waymo_evaluation(
+                [{**g, "num_points_in_gt": g["num_lidar_pts"],
+                  "gt_boxes_lidar": g["gt_boxes_lidar"][:, :7]}
+                 for g in gt_annos],
+                det_annos, tuple(class_names))
+            return ("[NON-OFFICIAL metric: Waymo matching protocol, NOT "
+                    "NuScenes NDS — do not compare to published NDS]\n"
+                    + s, d)
+        from ...eval.nuscenes_eval import nuscenes_evaluation
+
+        return nuscenes_evaluation(gt_annos, det_annos, list(class_names))
 
 
 def create_nuscenes_info(*args, **kwargs):
