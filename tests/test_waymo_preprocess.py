@@ -338,3 +338,29 @@ def test_create_waymo_infos_end_to_end(tmp_path):
     item = ds[0]
     assert item["points"].shape[1] == 4
     assert np.isfinite(item["points"]).all()
+
+
+def test_decode_frame_hand_assembled_hex():
+    """Independent wire-level fixture: a Frame assembled from HAND-WRITTEN
+    hex literals (no shared encoder helpers), so a wrong field number in
+    the decoder maps cannot self-confirm through the round-trip encoder.
+    Layout (public dataset.proto):
+      Frame.context        = field 1 (len-delim, key 0x0A)
+        Context.name                = field 1 (0x0A) -> "AB"
+        Context.camera_calibrations = field 2 (0x12)
+          CameraCalibration.name    = field 1 varint (0x08) -> 1
+          CameraCalibration.width   = field 4 varint (0x20) -> 1920
+          CameraCalibration.height  = field 5 varint (0x28) -> 1280
+      Frame.timestamp_micros = field 2 varint (key 0x10) -> 1234567890
+    """
+    cam = bytes([0x08, 0x01,              # name = 1
+                 0x20, 0x80, 0x0F,        # width = 1920
+                 0x28, 0x80, 0x0A])       # height = 1280
+    ctx = bytes([0x0A, 0x02, 0x41, 0x42,  # name = "AB"
+                 0x12, len(cam)]) + cam
+    frame = (bytes([0x0A, len(ctx)]) + ctx
+             + bytes([0x10, 0xD2, 0x85, 0xD8, 0xCC, 0x04]))  # 1234567890
+    fr = decode_frame(frame)
+    assert fr["context_name"] == "AB"
+    assert fr["timestamp_micros"] == 1234567890
+    assert fr["camera_hw"] == [(1280, 1920)]

@@ -211,25 +211,27 @@ _WAYMO_CLASSES = ["unknown", "Vehicle", "Pedestrian", "Sign", "Cyclist"]
 
 def decode_frame(payload):
     """Decode the Frame subset the preprocessing needs. Returns a dict:
-    context_name, timestamp_micros, pose (4,4), camera_hw {cam: (h, w)},
+    context_name, timestamp_micros, pose (4,4), camera_hw [(h, w) in proto order],
     laser_calib {laser: dict}, range_images {laser: [ri1, ri2]},
     top_pose (H, W, 6) or None, labels list of dicts."""
     f = parse_fields(payload)
     out = {"context_name": "", "timestamp_micros": 0,
-           "pose": np.eye(4), "camera_hw": {}, "laser_calib": {},
+           "pose": np.eye(4), "camera_hw": [], "laser_calib": {},
            "range_images": {}, "top_pose": None, "labels": []}
     # Frame.context = 1
     if 1 in f:
         ctx = parse_fields(f[1][-1])
         if 1 in ctx:
             out["context_name"] = ctx[1][-1].decode("utf-8", "replace")
-        # camera_calibrations = 2 {name=1, width=4, height=5}
+        # camera_calibrations = 2 {name=1, width=4, height=5} — kept as a
+        # LIST in proto order: the reference indexes
+        # frame.context.camera_calibrations[j] positionally
+        # (waymo_utils.py), not by camera name
         for cal in ctx.get(2, []):
             c = parse_fields(cal)
-            name = c.get(1, [0])[-1]
             w = c.get(4, [0])[-1]
             h = c.get(5, [0])[-1]
-            out["camera_hw"][int(name)] = (int(h), int(w))
+            out["camera_hw"].append((int(h), int(w)))
         # laser_calibrations = 3 {name=1, beam_inclinations=2,
         #   beam_inclination_min=3, beam_inclination_max=4, extrinsic=5}
         for cal in ctx.get(3, []):
@@ -385,8 +387,13 @@ def frame_points(frame, use_two_returns=True):
                 beam_inclinations=cal.get("beam_inclinations"),
                 beam_inclination_min=cal.get("beam_inclination_min", 0.0),
                 beam_inclination_max=cal.get("beam_inclination_max", 0.0),
+                # per-pixel pose applies to BOTH returns of the TOP laser
+                # (reference convert_range_image_to_point_cloud passes
+                # range_image_top_pose for every ri_index) — gating it on
+                # the first return would leave second-return points
+                # uncompensated for ego motion
                 pixel_pose=(frame["top_pose"]
-                            if name == LASER_TOP and ri_idx == 0
+                            if name == LASER_TOP
                             and frame["top_pose"] is not None else None),
                 frame_pose=frame["pose"],
             ))
@@ -397,6 +404,18 @@ def frame_points(frame, use_two_returns=True):
     pts = (np.concatenate(chunks, 0) if chunks
            else np.zeros((0, 6), np.float32))
     return pts, counts
+
+
+def _image_shapes(camera_hw, sequence_name):
+    """image_shape_%d keyed by LIST POSITION, mirroring the reference's
+    frame.context.camera_calibrations[j] indexing; a frame without the
+    usual 5 cameras gets a loud warning instead of silent zeros."""
+    if len(camera_hw) != 5:
+        print(f"Warning: {sequence_name}: expected 5 camera calibrations, "
+              f"got {len(camera_hw)}")
+    return {f"image_shape_{j}": (camera_hw[j] if j < len(camera_hw)
+                                 else (0, 0))
+            for j in range(5)}
 
 
 def generate_labels(frame):
@@ -457,9 +476,7 @@ def process_single_sequence(sequence_file, save_path, sampled_interval=1,
             "frame_id": sequence_name + ("_%03d" % cnt),
             "metadata": {"context_name": frame["context_name"],
                          "timestamp_micros": frame["timestamp_micros"]},
-            "image": {f"image_shape_{j}": frame["camera_hw"].get(j + 1,
-                                                                 (0, 0))
-                      for j in range(5)},
+            "image": _image_shapes(frame["camera_hw"], sequence_name),
             "pose": frame["pose"].astype(np.float32),
         }
         if has_label:

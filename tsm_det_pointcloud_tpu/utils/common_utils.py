@@ -109,7 +109,17 @@ class _LiveStderrHandler(logging.StreamHandler):
     def stream(self):
         import sys
 
-        return sys.stderr
+        return self._bound_stream if self._bound_stream is not None \
+            else sys.stderr
+
+    @stream.setter
+    def stream(self, value):
+        # keep the handler substitutable for a plain StreamHandler:
+        # an explicit assignment (or setStream) pins the stream and ends
+        # the live sys.stderr resolution
+        self._bound_stream = value
+
+    _bound_stream = None
 
 
 def create_logger(log_file=None, rank=0, log_level=logging.INFO):
