@@ -1,98 +1,115 @@
-"""KITTI calibration (parity: pcdet/utils/calibration_kitti.py)."""
+"""KITTI camera calibration (parity: pcdet/utils/calibration_kitti.py).
+
+Rebuilt around homogeneous 4x4 transforms: the calib file is parsed by
+key (robust to line order), the rect<->lidar chain is a single precomputed
+matrix product, and every transform is one `pts_hom @ M.T`.
+
+Frames: `lidar` (velodyne), `rect` (rectified camera-0), `img` (pixels of
+camera 2). rect = R0 @ (Tr_velo_to_cam @ lidar); img ~ P2 @ rect.
+"""
 from __future__ import annotations
 
 import numpy as np
 
+# calib-file keys -> canonical names used throughout the codebase
+_KEYS = {"P2": "P2", "P3": "P3", "R0_rect": "R0", "Tr_velo_to_cam": "Tr_velo2cam"}
+_SHAPES = {"P2": (3, 4), "P3": (3, 4), "R0": (3, 3), "Tr_velo2cam": (3, 4)}
+
+
+def _as_hom4(m):
+    """Embed a (3,3) or (3,4) matrix into a 4x4 homogeneous transform."""
+    out = np.eye(4, dtype=np.float32)
+    out[:3, : m.shape[1]] = m
+    return out
+
 
 def get_calib_from_file(calib_file):
+    """Parse a KITTI calib txt into {P2, P3, R0, Tr_velo2cam} float32 arrays."""
+    entries = {}
     with open(calib_file) as f:
-        lines = f.readlines()
-    obj = lines[2].strip().split(" ")[1:]
-    P2 = np.array(obj, dtype=np.float32)
-    obj = lines[3].strip().split(" ")[1:]
-    P3 = np.array(obj, dtype=np.float32)
-    obj = lines[4].strip().split(" ")[1:]
-    R0 = np.array(obj, dtype=np.float32)
-    obj = lines[5].strip().split(" ")[1:]
-    Tr_velo_to_cam = np.array(obj, dtype=np.float32)
-    return {
-        "P2": P2.reshape(3, 4),
-        "P3": P3.reshape(3, 4),
-        "R0": R0.reshape(3, 3),
-        "Tr_velo2cam": Tr_velo_to_cam.reshape(3, 4),
-    }
+        for line in f:
+            key, _, values = line.partition(":")
+            key = key.strip()
+            if key in _KEYS:
+                name = _KEYS[key]
+                entries[name] = np.fromstring(
+                    values, dtype=np.float32, sep=" "
+                ).reshape(_SHAPES[name])
+    missing = set(_SHAPES) - set(entries)
+    if missing:
+        raise ValueError(f"{calib_file}: missing calib entries {sorted(missing)}")
+    return entries
+
+
+def _hom(pts):
+    """(N, D) -> (N, D+1) with a trailing column of ones."""
+    return np.concatenate(
+        [pts, np.ones_like(pts[..., :1], dtype=np.float32)], axis=-1
+    )
 
 
 class Calibration:
-    def __init__(self, calib_file):
-        calib = get_calib_from_file(calib_file) if isinstance(calib_file, str) else calib_file
-        self.P2 = calib["P2"]  # 3 x 4
-        self.R0 = calib["R0"]  # 3 x 3
-        self.V2C = calib["Tr_velo2cam"]  # 3 x 4
+    """Holds the per-frame projection matrices and converts between frames.
 
-        self.cu = self.P2[0, 2]
-        self.cv = self.P2[1, 2]
-        self.fu = self.P2[0, 0]
-        self.fv = self.P2[1, 1]
-        self.tx = self.P2[0, 3] / (-self.fu)
-        self.ty = self.P2[1, 3] / (-self.fv)
+    Accepts a calib-file path or a pre-parsed dict (see get_calib_from_file).
+    """
+
+    def __init__(self, calib_file):
+        calib = (
+            get_calib_from_file(calib_file)
+            if isinstance(calib_file, str)
+            else calib_file
+        )
+        self.P2 = calib["P2"]  # (3, 4) camera-2 projection
+        self.R0 = calib["R0"]  # (3, 3) rectifying rotation
+        self.V2C = calib["Tr_velo2cam"]  # (3, 4) velodyne -> camera-0
+
+        # lidar -> rect as one homogeneous matrix (and its inverse)
+        self._lidar_to_rect_4x4 = _as_hom4(self.R0) @ _as_hom4(self.V2C)
+        self._rect_to_lidar_4x4 = np.linalg.inv(self._lidar_to_rect_4x4)
+
+        # intrinsics of camera 2 (principal point, focal lengths, baseline)
+        (self.fu, _, self.cu, bx), (_, self.fv, self.cv, by) = self.P2[:2]
+        self.tx = bx / -self.fu
+        self.ty = by / -self.fv
+
+    # -- frame conversions ---------------------------------------------------
 
     def cart_to_hom(self, pts):
-        return np.hstack((pts, np.ones((pts.shape[0], 1), dtype=np.float32)))
+        return _hom(pts)
 
     def rect_to_lidar(self, pts_rect):
-        pts_rect_hom = self.cart_to_hom(pts_rect)  # (N, 4)
-        R0_ext = np.hstack((self.R0, np.zeros((3, 1), dtype=np.float32)))
-        R0_ext = np.vstack((R0_ext, np.zeros((1, 4), dtype=np.float32)))
-        R0_ext[3, 3] = 1
-        V2C_ext = np.vstack((self.V2C, np.zeros((1, 4), dtype=np.float32)))
-        V2C_ext[3, 3] = 1
-        pts_lidar = np.dot(
-            pts_rect_hom, np.linalg.inv(np.dot(R0_ext, V2C_ext).T)
-        )
-        return pts_lidar[:, 0:3]
+        return (_hom(pts_rect) @ self._rect_to_lidar_4x4.T)[:, :3]
 
     def lidar_to_rect(self, pts_lidar):
-        pts_lidar_hom = self.cart_to_hom(pts_lidar)
-        pts_rect = np.dot(pts_lidar_hom, np.dot(self.V2C.T, self.R0.T))
-        return pts_rect
+        return (_hom(pts_lidar) @ self._lidar_to_rect_4x4.T)[:, :3]
 
     def rect_to_img(self, pts_rect):
-        pts_rect_hom = self.cart_to_hom(pts_rect)
-        pts_2d_hom = np.dot(pts_rect_hom, self.P2.T)
-        pts_img = (pts_2d_hom[:, 0:2].T / pts_rect_hom[:, 2]).T
-        pts_rect_depth = pts_2d_hom[:, 2] - self.P2.T[3, 2]
-        return pts_img, pts_rect_depth
+        """rect -> (pixel coords (N,2), depth along the camera-2 axis (N,))."""
+        proj = _hom(pts_rect) @ self.P2.T  # (N, 3) homogeneous pixels
+        pts_img = proj[:, :2] / proj[:, 2:3]
+        # P2[2, 3] shifts the projective depth off the rect-frame z; remove it
+        depth = proj[:, 2] - self.P2[2, 3]
+        return pts_img, depth
 
     def lidar_to_img(self, pts_lidar):
-        pts_rect = self.lidar_to_rect(pts_lidar)
-        return self.rect_to_img(pts_rect)
+        return self.rect_to_img(self.lidar_to_rect(pts_lidar))
 
     def img_to_rect(self, u, v, depth_rect):
-        x = ((u - self.cu) * depth_rect) / self.fu + self.tx
-        y = ((v - self.cv) * depth_rect) / self.fv + self.ty
-        return np.concatenate(
-            (x.reshape(-1, 1), y.reshape(-1, 1), depth_rect.reshape(-1, 1)), axis=1
+        """Back-project pixels at known rect depth -> (N, 3) rect points."""
+        x = (np.asarray(u) - self.cu) * depth_rect / self.fu + self.tx
+        y = (np.asarray(v) - self.cv) * depth_rect / self.fv + self.ty
+        return np.stack(
+            [x.reshape(-1), y.reshape(-1), np.asarray(depth_rect).reshape(-1)],
+            axis=1,
         )
 
     def corners3d_to_img_boxes(self, corners3d):
-        """corners3d (N, 8, 3) rect -> (N, 4) img boxes + (N, 8, 2) corners."""
-        sample_num = corners3d.shape[0]
-        corners3d_hom = np.concatenate(
-            (corners3d, np.ones((sample_num, 8, 1))), axis=2
-        )
-        img_pts = np.matmul(corners3d_hom, self.P2.T)
-        x, y = img_pts[:, :, 0] / img_pts[:, :, 2], img_pts[:, :, 1] / img_pts[:, :, 2]
-        x1, y1 = np.min(x, axis=1), np.min(y, axis=1)
-        x2, y2 = np.max(x, axis=1), np.max(y, axis=1)
-        boxes = np.concatenate(
-            (x1.reshape(-1, 1), y1.reshape(-1, 1), x2.reshape(-1, 1), y2.reshape(-1, 1)),
-            axis=1,
-        )
-        boxes_corner = np.concatenate(
-            (x.reshape(-1, 8, 1), y.reshape(-1, 8, 1)), axis=2
-        )
-        return boxes, boxes_corner
+        """(N, 8, 3) rect corners -> ((N, 4) xyxy image boxes, (N, 8, 2))."""
+        proj = _hom(corners3d) @ self.P2.T  # (N, 8, 3)
+        uv = proj[..., :2] / proj[..., 2:3]
+        boxes = np.concatenate([uv.min(axis=1), uv.max(axis=1)], axis=1)
+        return boxes, uv
 
 
 def make_identity_calib():
@@ -102,11 +119,7 @@ def make_identity_calib():
     V2C = np.array(
         [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], dtype=np.float32
     )
+    P = np.hstack([np.eye(3, dtype=np.float32) * 700.0, np.zeros((3, 1), np.float32)])
     return Calibration(
-        {
-            "P2": np.hstack([np.eye(3, dtype=np.float32) * 700.0, np.zeros((3, 1), np.float32)]),
-            "P3": np.hstack([np.eye(3, dtype=np.float32) * 700.0, np.zeros((3, 1), np.float32)]),
-            "R0": np.eye(3, dtype=np.float32),
-            "Tr_velo2cam": V2C,
-        }
+        {"P2": P, "P3": P, "R0": np.eye(3, dtype=np.float32), "Tr_velo2cam": V2C}
     )

@@ -99,11 +99,12 @@ class KittiDataset(DatasetTemplate):
 
     @staticmethod
     def get_fov_flag(pts_rect, img_shape, calib):
-        pts_img, pts_rect_depth = calib.rect_to_img(pts_rect)
-        val_flag_1 = np.logical_and(pts_img[:, 0] >= 0, pts_img[:, 0] < img_shape[1])
-        val_flag_2 = np.logical_and(pts_img[:, 1] >= 0, pts_img[:, 1] < img_shape[0])
-        val_flag_merge = np.logical_and(val_flag_1, val_flag_2)
-        return np.logical_and(val_flag_merge, pts_rect_depth >= 0)
+        """Mask of points that project inside the camera-2 image with
+        non-negative depth (img_shape is (height, width))."""
+        pts_img, depth = calib.rect_to_img(pts_rect)
+        hw = np.asarray(img_shape, dtype=np.float64)[::-1]  # -> (width, height)
+        inside = ((pts_img >= 0) & (pts_img < hw)).all(axis=1)
+        return inside & (depth >= 0)
 
     # -- info generation (offline) -------------------------------------------
 

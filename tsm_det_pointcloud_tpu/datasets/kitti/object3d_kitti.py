@@ -1,78 +1,108 @@
-"""KITTI label parsing (parity: pcdet/utils/object3d_kitti.py)."""
+"""KITTI label-file parsing (parity: pcdet/utils/object3d_kitti.py).
+
+One label line has 15 (+1 optional score) space-separated columns:
+type truncated occluded alpha | bbox(4: left top right bottom) |
+dimensions(3: h w l) | location(3: x y z, rect frame, bottom center) |
+rotation_y | [score].
+
+The file is parsed in one pass into column arrays; `Object3d` is a view
+over one row, keeping the attribute API the dataset/eval code relies on.
+"""
 from __future__ import annotations
 
 import numpy as np
 
+_CLASS_IDS = {"Car": 1, "Pedestrian": 2, "Cyclist": 3, "Van": 4}
 
-def get_objects_from_label(label_file):
-    with open(label_file, "r") as f:
-        lines = f.readlines()
-    return [Object3d(line) for line in lines]
+# difficulty tiers: (min 2d-box height px, max truncation, max occlusion)
+_LEVELS = (
+    ("Easy", 40.0, 0.15, 0),
+    ("Moderate", 25.0, 0.30, 1),
+    ("Hard", 25.0, 0.50, 2),
+)
 
 
 def cls_type_to_id(cls_type):
-    type_to_id = {"Car": 1, "Pedestrian": 2, "Cyclist": 3, "Van": 4}
-    return type_to_id.get(cls_type, -1)
+    return _CLASS_IDS.get(cls_type, -1)
+
+
+def parse_label_file(label_file):
+    """Parse a label txt -> (list of type names, (N, 15) float column matrix).
+
+    Column layout: 0 truncation, 1 occlusion, 2 alpha, 3:7 bbox, 7:10 hwl,
+    10:13 location, 13 rotation_y, 14 score (-1 when absent).
+    """
+    names, rows = [], []
+    with open(label_file) as f:
+        for line in f:
+            fields = line.split()
+            if not fields:
+                continue
+            names.append(fields[0])
+            vals = [float(v) for v in fields[1:16]]
+            if len(vals) == 14:  # no score column
+                vals.append(-1.0)
+            rows.append(vals)
+    mat = (
+        np.asarray(rows, dtype=np.float64)
+        if rows
+        else np.zeros((0, 15), np.float64)
+    )
+    return names, mat
+
+
+def get_objects_from_label(label_file):
+    names, mat = parse_label_file(label_file)
+    return [Object3d(n, row) for n, row in zip(names, mat)]
+
+
+def _difficulty(box_height, truncation, occlusion):
+    for idx, (name, min_h, max_trunc, max_occ) in enumerate(_LEVELS):
+        if box_height >= min_h and truncation <= max_trunc and occlusion <= max_occ:
+            return idx, name
+    return -1, "UnKnown"
 
 
 class Object3d:
-    def __init__(self, line):
-        label = line.strip().split(" ")
-        self.src = line
-        self.cls_type = label[0]
-        self.cls_id = cls_type_to_id(self.cls_type)
-        self.truncation = float(label[1])
-        self.occlusion = float(label[2])  # 0..3 (unknown)
-        self.alpha = float(label[3])
-        self.box2d = np.array(
-            (float(label[4]), float(label[5]), float(label[6]), float(label[7])),
-            dtype=np.float32,
+    """One labeled object; attributes mirror the reference's field names."""
+
+    def __init__(self, cls_type, row):
+        self.cls_type = cls_type
+        self.cls_id = cls_type_to_id(cls_type)
+        self.truncation = row[0]
+        self.occlusion = row[1]  # 0..3 (3 = unknown)
+        self.alpha = row[2]
+        self.box2d = row[3:7].astype(np.float32)
+        self.h, self.w, self.l = row[7:10]
+        self.loc = row[10:13].astype(np.float32)
+        self.dis_to_cam = float(np.linalg.norm(self.loc))
+        self.ry = row[13]
+        self.score = row[14]
+        # +1: KITTI boxes are inclusive pixel ranges
+        box_height = self.box2d[3] - self.box2d[1] + 1
+        self.level, self.level_str = _difficulty(
+            box_height, self.truncation, self.occlusion
         )
-        self.h = float(label[8])
-        self.w = float(label[9])
-        self.l = float(label[10])
-        self.loc = np.array(
-            (float(label[11]), float(label[12]), float(label[13])), dtype=np.float32
-        )
-        self.dis_to_cam = np.linalg.norm(self.loc)
-        self.ry = float(label[14])
-        self.score = float(label[15]) if len(label) == 16 else -1.0
-        self.level_str = None
-        self.level = self.get_kitti_obj_level()
+        self.src = "%s %s" % (cls_type, " ".join("%g" % v for v in row[:14]))
 
     def get_kitti_obj_level(self):
-        height = float(self.box2d[3]) - float(self.box2d[1]) + 1
-
-        if height >= 40 and self.truncation <= 0.15 and self.occlusion <= 0:
-            self.level_str = "Easy"
-            return 0
-        elif height >= 25 and self.truncation <= 0.3 and self.occlusion <= 1:
-            self.level_str = "Moderate"
-            return 1
-        elif height >= 25 and self.truncation <= 0.5 and self.occlusion <= 2:
-            self.level_str = "Hard"
-            return 2
-        else:
-            self.level_str = "UnKnown"
-            return -1
+        return self.level
 
     def generate_corners3d(self):
-        """(8, 3) corners in rect camera coords."""
-        l, h, w = self.l, self.h, self.w
-        x_corners = [l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2]
-        y_corners = [0, 0, 0, 0, -h, -h, -h, -h]
-        z_corners = [w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2]
-
-        R = np.array(
+        """(8, 3) box corners in the rect frame; loc is the bottom center."""
+        half_l, h, half_w = self.l / 2, self.h, self.w / 2
+        # bottom face then top face, counter-clockwise from +x+z
+        corners = np.array(
             [
-                [np.cos(self.ry), 0, np.sin(self.ry)],
-                [0, 1, 0],
-                [-np.sin(self.ry), 0, np.cos(self.ry)],
+                [half_l, 0.0, half_w], [half_l, 0.0, -half_w],
+                [-half_l, 0.0, -half_w], [-half_l, 0.0, half_w],
+                [half_l, -h, half_w], [half_l, -h, -half_w],
+                [-half_l, -h, -half_w], [-half_l, -h, half_w],
             ]
         )
-        corners3d = np.vstack([x_corners, y_corners, z_corners])
-        corners3d = np.dot(R, corners3d).T + self.loc
-        return corners3d
+        c, s = np.cos(self.ry), np.sin(self.ry)
+        rot_y = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return corners @ rot_y.T + self.loc
 
     def to_str(self):
         return (
