@@ -175,3 +175,57 @@ class LyftDataset(DatasetTemplate):
                     "Lyft mAP — do not compare to published numbers]\n" + s,
                     d)
         raise NotImplementedError(metric)
+
+    def create_groundtruth_database(self, used_classes=None, max_sweeps=10):
+        """GT database for copy-paste augmentation (parity: reference
+        lyft_dataset.py:206-249)."""
+        from ...ops import boxes as box_ops
+
+        database_save_path = self.root_path / (
+            "gt_database_%dsweeps" % max_sweeps)
+        db_info_save_path = self.root_path / (
+            "lyft_dbinfos_%dsweeps.pkl" % max_sweeps)
+        database_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        for idx in range(len(self.infos)):
+            info = self.infos[idx]
+            points = self.get_lidar_with_sweeps(idx, max_sweeps=max_sweeps)
+            gt_boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))))
+            gt_names = np.asarray(info.get("gt_names", []))
+            if gt_boxes.shape[0] == 0:
+                continue
+            box_idx = box_ops.points_in_boxes_np(
+                points[:, :3], gt_boxes[:, :7])
+            for i in range(gt_boxes.shape[0]):
+                name = str(gt_names[i])
+                if used_classes is not None and name not in used_classes:
+                    continue
+                gt_points = points[box_idx == i].copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                filename = "%s_%s_%d.bin" % (info["token"], name, i)
+                with open(database_save_path / filename, "w+b") as f:
+                    gt_points.tofile(f)
+                all_db_infos.setdefault(name, []).append({
+                    "name": name,
+                    "path": str((database_save_path / filename
+                                 ).relative_to(self.root_path)),
+                    "image_idx": idx, "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": int(gt_points.shape[0]),
+                })
+        for k, v in all_db_infos.items():
+            if self.logger:
+                self.logger.info("Database %s: %d" % (k, len(v)))
+        with open(db_info_save_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+
+
+def create_lyft_info(version, data_path, save_path, split=None,
+                     max_sweeps=10):
+    """Hermetic offline info creation — no lyft-devkit needed; the JSON
+    tables are parsed directly (lyft_tables.py, shared with the nuScenes
+    hermetic rebuild)."""
+    from .lyft_tables import create_lyft_info as _create
+
+    return _create(version, data_path, save_path, split=split,
+                   max_sweeps=max_sweeps)

@@ -156,6 +156,17 @@ class NuScenesDataset(DatasetTemplate):
         if data_dict is None:
             new_index = int(self.rng.integers(0, len(self)))
             return self.__getitem__(new_index)
+        if self.dataset_cfg.get("SET_NAN_VELOCITY_TO_ZEROS", False) and \
+                "gt_boxes" in data_dict:
+            gt_boxes = data_dict["gt_boxes"]
+            gt_boxes[np.isnan(gt_boxes)] = 0
+            data_dict["gt_boxes"] = gt_boxes
+        # 9-dim boxes (xyz dxdydz yaw vx vy) + class: drop the velocity
+        # columns unless the model predicts them (reference :147-149)
+        if not self.dataset_cfg.get("PRED_VELOCITY", True) and \
+                "gt_boxes" in data_dict and data_dict["gt_boxes"].shape[-1] > 8:
+            data_dict["gt_boxes"] = data_dict["gt_boxes"][
+                :, [0, 1, 2, 3, 4, 5, 6, -1]]
         return data_dict
 
     @staticmethod
@@ -163,7 +174,8 @@ class NuScenesDataset(DatasetTemplate):
                                   output_path=None):
         annos = []
         for b, box_dict in enumerate(pred_dicts):
-            boxes = np.asarray(box_dict["pred_boxes"]).reshape(-1, 7)
+            boxes = np.asarray(box_dict["pred_boxes"])
+            boxes = boxes.reshape(-1, boxes.shape[-1] if boxes.ndim else 7)
             scores = np.asarray(box_dict["pred_scores"]).reshape(-1)
             labels = np.asarray(box_dict["pred_labels"]).reshape(-1)
             keep = scores > 0
@@ -173,6 +185,7 @@ class NuScenesDataset(DatasetTemplate):
                 ] if keep.any() else np.zeros(0, object),
                 "score": scores[keep],
                 "boxes_lidar": boxes[keep],
+                "pred_labels": labels[keep],
                 "metadata": (
                     batch_dict.get("metadata", [None] * (b + 1))[b]
                     if isinstance(batch_dict.get("metadata"), (list, tuple))
@@ -215,9 +228,58 @@ class NuScenesDataset(DatasetTemplate):
         return nuscenes_evaluation(gt_annos, det_annos, list(class_names))
 
 
-def create_nuscenes_info(*args, **kwargs):
-    raise RuntimeError(
-        "create_nuscenes_info needs the nuscenes-devkit; preprocess on a "
-        "host that has it (reference nuscenes_dataset.py:299), then point "
-        "INFO_PATH at the generated pkls."
-    )
+    def create_groundtruth_database(self, used_classes=None, max_sweeps=10):
+        """GT database for copy-paste augmentation (parity: reference
+        nuscenes_dataset.py:253-298 — per-box point crops from the
+        max_sweeps-accumulated cloud, recentred on the box)."""
+        from ...ops import boxes as box_ops
+
+        database_save_path = self.root_path / (
+            "gt_database_%dsweeps_withvelo" % max_sweeps)
+        db_info_save_path = self.root_path / (
+            "nuscenes_dbinfos_%dsweeps_withvelo.pkl" % max_sweeps)
+        database_save_path.mkdir(parents=True, exist_ok=True)
+        all_db_infos = {}
+        for idx in range(len(self.infos)):
+            info = self.infos[idx]
+            points = self.get_lidar_with_sweeps(idx, max_sweeps=max_sweeps)
+            gt_boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 9))))
+            gt_names = np.asarray(info.get("gt_names", []))
+            if gt_boxes.shape[0] == 0:
+                continue
+            box_idx = box_ops.points_in_boxes_np(
+                points[:, :3], gt_boxes[:, :7])
+            for i in range(gt_boxes.shape[0]):
+                name = str(gt_names[i])
+                if used_classes is not None and name not in used_classes:
+                    continue
+                gt_points = points[box_idx == i].copy()
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                filename = "%s_%s_%d.bin" % (info["token"], name, i)
+                with open(database_save_path / filename, "w+b") as f:
+                    gt_points.tofile(f)
+                db_info = {
+                    "name": name,
+                    "path": str((database_save_path / filename
+                                 ).relative_to(self.root_path)),
+                    "image_idx": idx, "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": int(gt_points.shape[0]),
+                }
+                all_db_infos.setdefault(name, []).append(db_info)
+        for k, v in all_db_infos.items():
+            if self.logger:
+                self.logger.info("Database %s: %d" % (k, len(v)))
+        with open(db_info_save_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+
+
+def create_nuscenes_info(version, data_path, save_path, max_sweeps=10,
+                         splits=None):
+    """Hermetic offline info creation — no nuscenes-devkit needed; the
+    JSON tables are parsed directly (nuscenes_tables.py, same discipline
+    as the Waymo preprocessor)."""
+    from .nuscenes_tables import create_nuscenes_info as _create
+
+    return _create(version, data_path, save_path, max_sweeps=max_sweeps,
+                   splits=splits)
