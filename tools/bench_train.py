@@ -95,11 +95,27 @@ def main():
             pts + np.float32((tag * 31 + n) * 1e-6), jnp.int32(n))[-1]),
         n_small=2, n_big=6,
     )
+
+    # MFU: XLA's own flop count for ONE train step / wall / peak MXU rate.
+    # v5e peak is 197 TFLOP/s bf16 (the MXU ceiling this code can reach;
+    # f32 ops run at half that, so f32-heavy graphs cap at ~0.5 MFU here).
+    mfu = None
+    try:
+        lowered = train_n.lower(params, opt_state, rest, pts, jnp.int32(1))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / 197e12
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "kitti_tsm_train_scans_per_sec",
         "value": round(B / dt, 2), "unit": "scans/s",
         "s_per_step_b8": round(dt, 4),
         "vs_ref_train": round((B / dt) / 20.6, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
     }))
 
 
