@@ -55,7 +55,8 @@ CLASS_MIX = (1, 1, 1, 2, 3)  # 3 cars + 1 pedestrian + 1 cyclist per scene
 
 
 def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
-              init_statistics=None, tag="teacher", stat_mode="learned"):
+              init_statistics=None, tag="teacher", stat_mode="learned",
+              steps=None):
     """One full training phase + held-out official-protocol eval.
 
     stacked_scenes: dict of stacked leaves (nb, B, ...) + template batch.
@@ -118,7 +119,8 @@ def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
         # student phase's peak LR; the reference uses the same LR for both
         # phases but a 23x longer schedule on 14x more data.
         opt_cfg["LR"] = float(opt_cfg["LR"]) * args.lr_scale
-    tx, _ = build_optimizer(opt_cfg, total_steps=args.steps)
+    steps = args.steps if steps is None else steps
+    tx, _ = build_optimizer(opt_cfg, total_steps=steps)
     if distill:
         tx = wrap_student_only(tx, params)
     opt_state = jax.jit(tx.init)(params)
@@ -156,10 +158,10 @@ def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
         tbacc = {k: jnp.zeros((n,), jnp.float32) for k in tb_keys}
         return jax.lax.fori_loop(0, n, step, (p, os_, rest, acc, tbacc))
 
-    chunk = min(100, args.steps)
+    chunk = min(100, steps)
     series = {"loss": [], "stat_mag": [], "max_abs_logit": []}
     it, t0 = 0, time.time()
-    while it < args.steps:
+    while it < steps:
         params, opt_state, rest, ls, tbl = run_chunk(
             params, opt_state, rest, jnp.int32(it), chunk)
         it += chunk
@@ -234,6 +236,7 @@ def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2400)
+    # (resolved after parse: teacher_steps defaults to steps)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--train_scenes", type=int, default=256)
@@ -246,6 +249,9 @@ def main():
                          "training phase 1")
     ap.add_argument("--skip_ablation", action="store_true",
                     help="skip the phase-2b ones-ablation A/B arm")
+    ap.add_argument("--teacher_steps", type=int, default=None,
+                    help="phase-1 step count (default: --steps); the "
+                         "teacher converges far faster than the student")
     ap.add_argument("--lr_scale", type=float, default=1.0,
                     help="scale the student phases' peak LR (compressed-"
                          "regime delta; see run_phase)")
@@ -291,6 +297,7 @@ def main():
             EDict({"ROOT_DIR": root, "LOCAL_RANK": 0}))
 
     artifact = {"metric": "tsm_distill_proof", "steps": args.steps,
+                "teacher_steps": args.teacher_steps or args.steps,
                 "batch": B, "points": N, "train_scenes": nb * B,
                 "val_scenes": args.val_scenes, "class_mix": list(CLASS_MIX)}
 
@@ -306,7 +313,7 @@ def main():
         cfg1 = load_cfg("fast_cpc_teacher.yaml")
         res1, t_params, t_rest = run_phase(
             cfg1, meta, args, stacked_scenes, val_scenes, tag="teacher",
-            stat_mode="learned")
+            stat_mode="learned", steps=args.teacher_steps)
         t_stats = t_rest.get("statistics")
         artifact["teacher"] = res1
         print(json.dumps({"phase": "teacher", **{
@@ -317,6 +324,8 @@ def main():
             pickle.dump({
                 "params": jax.tree_util.tree_map(np.asarray, t_params),
                 "statistics": jax.tree_util.tree_map(np.asarray, t_stats),
+                "batch_stats": jax.tree_util.tree_map(
+                    np.asarray, t_rest.get("batch_stats", {})),
                 "result": res1,
             }, f)
 

@@ -41,9 +41,13 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--teacher_ckpt", default="artifacts/distill_teacher.pkl")
-    ap.add_argument("--warm_steps", type=int, default=16,
+    ap.add_argument("--warm_steps", type=int, default=256,
                     help="train-mode forwards to rebuild BN running stats "
-                         "(the ckpt stores params+statistics only)")
+                         "when the ckpt lacks batch_stats (BN momentum is "
+                         "0.01, so ~256 steps to converge the running "
+                         "stats; ckpts written by the current "
+                         "distill_proof.py include batch_stats and skip "
+                         "this)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
