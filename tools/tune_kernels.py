@@ -121,7 +121,11 @@ def bench_group(args):
         ("sa0", 16384, 4096, 1, 32, 0.8, 0.4),
         # VSA: 4096 src, 512 q, ns=32, C=64
         ("vsa", 4096, 512, 64, 32, 3.2, 0.0),
+        # Waymo layer-0 scale (b8 is the bench batch for this shape)
+        ("wy0", 122880, 16384, 1, 32, 0.8, 0.4),
     ]
+    if args.b > 8:
+        cases = [c for c in cases if c[0] != "wy0"]
     for name, N, Q, C, ns, rmax, rmin in cases:
         xyz, feat, valid, q = make_group_inputs(B, N, Q, C)
         xyzj, featj, validj, qj = map(jnp.asarray, (xyz, feat, valid, q))
@@ -172,9 +176,11 @@ def main():
     ap.add_argument("--shape", type=int, default=-1,
                     help="bykey: only run this shape index")
     args = ap.parse_args()
-    args.conv_params = [(256, 256, 1), (256, 512, 9), (256, 256, 9),
-                        (256, 1024, 9)]
-    args.group_params = [(128, 512, 4), (128, 512, 8), (256, 512, 8)]
+    # r4: re-sweep sb now that windows start 128-aligned (the r2 sweep ran
+    # on sb-grid-quantized windows, where narrow sb lost to double visits)
+    args.conv_params = [(256, 512, 9), (256, 384, 9), (256, 256, 9),
+                        (256, 128, 9), (128, 256, 9)]
+    args.group_params = [(128, 512, 4), (128, 256, 4), (128, 384, 4)]
     if args.which in ("bykey", "all"):
         bench_bykey(args)
     if args.which in ("group", "all"):
