@@ -182,13 +182,42 @@ def _nms_keep_mask(geom, areas, valid, thresh, block=256, rotated=True):
     S = grid(geom, areas, geom, areas) > thresh
     order = jnp.arange(n)
     S = S & (order[:, None] < order[None, :]) & valid[:, None] & valid[None, :]
+    return _suppression_fixpoint(S, valid)
+
+
+def _suppression_fixpoint(S, valid):
+    """keep <- valid & ~any_j(S[j, i] & keep[j]) iterated to fixpoint.
+
+    S is consumed BIT-PACKED along j (32 suppressor rows per uint32 word):
+    the fixpoint runs its (chain-depth) iterations on a (ceil(N/32), N)
+    word grid instead of the (N, N) bool grid — 32x less traffic per
+    iteration, identical Boolean algebra (the Waymo multi_thresh path
+    replays this fixpoint num_class+1 times per sample at N=3072, where
+    the unpacked loop dominated post-processing device time)."""
+    n = valid.shape[0]
+    w = -(-n // 32)
+    pad = w * 32 - n
+    bits = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+
+    def pack_rows(m):
+        # (n, ...) bool -> (w, ...) uint32, bit b of word i = m[32i + b]
+        mp = jnp.concatenate(
+            [m, jnp.zeros((pad,) + m.shape[1:], m.dtype)], 0
+        ) if pad else m
+        mp = mp.reshape((w, 32) + m.shape[1:]).astype(jnp.uint32)
+        bshape = (1, 32) + (1,) * (m.ndim - 1)
+        return jnp.sum(mp * bits.reshape(bshape), axis=1, dtype=jnp.uint32)
+
+    SP = pack_rows(S)                                    # (w, n) uint32
 
     def cond(c):
         return c[1]
 
     def body(c):
         keep, _ = c
-        new = valid & ~jnp.any(S & keep[:, None], axis=0)
+        kp = pack_rows(keep)                             # (w,)
+        suppressed = jnp.any((SP & kp[:, None]) != 0, axis=0)
+        new = valid & ~suppressed
         return new, jnp.any(new != keep)
 
     keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
@@ -273,16 +302,7 @@ def _keep_from_matrix(s_mat, scores, pre_maxsize, post_maxsize):
     valid = jnp.isfinite(scores) & (rank < k)
     S = (s_mat & (rank[:, None] < rank[None, :])
          & valid[:, None] & valid[None, :])
-
-    def cond(c):
-        return c[1]
-
-    def body(c):
-        keep, _ = c
-        new = valid & ~jnp.any(S & keep[:, None], axis=0)
-        return new, jnp.any(new != keep)
-
-    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+    keep = _suppression_fixpoint(S, valid)
     if post_maxsize < k:
         kk = keep[order]                       # keeps in score order
         kk &= jnp.cumsum(kk.astype(jnp.int32)) <= post_maxsize
