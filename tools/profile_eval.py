@@ -76,6 +76,7 @@ def aggregate_trace(trace_dir):
         if nm == "XLA Ops" or re.search(r"XLAEigen", nm):
             tid_lanes.add((ev["pid"], ev["tid"]))
     by_op = collections.Counter()
+    by_fusion = collections.Counter()
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X":
@@ -87,8 +88,16 @@ def aggregate_trace(trace_dir):
         if name.startswith(("end: ", "ThunkExecutor", "Threadpool")):
             continue
         dur = float(ev.get("dur", 0.0))
-        by_op[_GEN.sub("", name)] += dur
+        clean = _GEN.sub("", name)
+        by_op[clean] += dur
+        if clean == "fusion":
+            # attribute anonymous fusions by tf_op path / long_name so
+            # the "fusion tail" decomposes into real model sites
+            a = ev.get("args", {})
+            key = (a.get("tf_op") or a.get("long_name") or "?")[:100]
+            by_fusion[key] += dur
         total += dur
+    aggregate_trace.by_fusion = by_fusion  # stashed for --fusion_detail
     return by_op, max(total, 1e-9)
 
 
@@ -177,6 +186,12 @@ def main():
     for name, us in by_op.most_common(args.top):
         ms = us / args.reps / 1e3
         print(f"{name[:72]:<72} {ms:8.2f} {100 * us / total:6.2f}")
+    by_fusion = getattr(aggregate_trace, "by_fusion", None)
+    if by_fusion:
+        print(f"\nanonymous-fusion breakdown (by tf_op/long_name):")
+        for key, us in by_fusion.most_common(15):
+            ms = us / args.reps / 1e3
+            print(f"{key[:86]:<86} {ms:8.2f}")
 
 
 if __name__ == "__main__":
