@@ -90,11 +90,12 @@ def aggregate_trace(trace_dir):
         dur = float(ev.get("dur", 0.0))
         clean = _GEN.sub("", name)
         by_op[clean] += dur
-        if clean == "fusion":
-            # attribute anonymous fusions by tf_op path / long_name so
-            # the "fusion tail" decomposes into real model sites
+        if clean in ("fusion", "copy", "sort"):
+            # attribute anonymous fusions/copies/sorts by tf_op path /
+            # long_name so the "fusion tail" decomposes into model sites
             a = ev.get("args", {})
-            key = (a.get("tf_op") or a.get("long_name") or "?")[:100]
+            key = clean + " | " + (
+                a.get("tf_op") or a.get("long_name") or "?")[:96]
             by_fusion[key] += dur
         total += dur
     aggregate_trace.by_fusion = by_fusion  # stashed for --fusion_detail
@@ -188,8 +189,8 @@ def main():
         print(f"{name[:72]:<72} {ms:8.2f} {100 * us / total:6.2f}")
     by_fusion = getattr(aggregate_trace, "by_fusion", None)
     if by_fusion:
-        print(f"\nanonymous-fusion breakdown (by tf_op/long_name):")
-        for key, us in by_fusion.most_common(15):
+        print(f"\nfusion/copy/sort breakdown (by tf_op/long_name):")
+        for key, us in by_fusion.most_common(20):
             ms = us / args.reps / 1e3
             print(f"{key[:86]:<86} {ms:8.2f}")
 
