@@ -192,7 +192,14 @@ class KittiDataset(DatasetTemplate):
                 info["annos"] = annotations
             return info
 
-        return [process_single_scene(sid) for sid in sample_id_list]
+        if num_workers <= 1:
+            return [process_single_scene(sid) for sid in sample_id_list]
+        # parity: reference threadpools the per-scene label/calib parsing
+        # (kitti_dataset.py:150,220) — IO-bound, threads suffice
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(num_workers) as pool:
+            return list(pool.map(process_single_scene, sample_id_list))
 
     def create_groundtruth_database(self, info_path=None, used_classes=None,
                                     split="train"):
