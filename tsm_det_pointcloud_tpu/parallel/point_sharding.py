@@ -133,8 +133,9 @@ def sharded_voxel_centroids(coords_zyx, features, valid, num_voxels,
         mean_counts = merged["centroids"][:, -1:]
         centroids = mean_sums / jnp.maximum(mean_counts, 1e-12)
         # per-voxel point totals: mean over shard entries x entry count
+        # (round, don't truncate — the mean is a float division)
         n_entries = jnp.maximum(merged["counts"], 1).astype(f_l.dtype)
-        totals = (mean_counts[:, 0] * n_entries).astype(jnp.int32)
+        totals = jnp.round(mean_counts[:, 0] * n_entries).astype(jnp.int32)
         return (centroids, merged["coordinates"],
                 jnp.where(merged["valid"], totals, 0),
                 merged["num_voxels"], merged["valid"])
