@@ -121,6 +121,10 @@ class VoteHeadBranch(nn.Module):
     box_coder: PointBinResidualCoder
     update_statistics: bool = True  # False in the distillation head (buffers
                                     # come transferred from the teacher ckpt)
+    gated_reg: bool = True  # the statistic-gated dynamic-weight reg branch is
+                            # TEACHER-only in the reference; the STUDENT uses a
+                            # plain REG_FC MLP (s_reg_layers,
+                            # ...distillation.py:160-170,1242-1245)
 
     @nn.compact
     def __call__(self, point_coords, point_features, point_valid,
@@ -251,8 +255,22 @@ class VoteHeadBranch(nn.Module):
             cls_list.append(logit)
         cls_preds = jnp.concatenate(cls_list, -1)  # (B, M, num_class)
 
-        # ---- dynamic-weight regression ----
         code = self.box_coder.code_size
+        if not self.gated_reg:
+            # plain student reg: REG_FC MLP on the shared features
+            # (reference s_reg_layers — no gate, no statistic coupling)
+            h = SharedMLP(list(cfg["REG_FC"]), name="reg_fc")(
+                shared, training, mask=cand_valid[..., None]
+            )
+            reg_preds = nn.Dense(code, name="reg_out")(h)
+            box_preds = self.box_coder.decode(reg_preds, vote_xyz)
+            return dict(
+                candidate_xyz=cand_xyz, candidate_valid=cand_valid,
+                vote_xyz=vote_xyz, cls_preds=cls_preds, reg_preds=reg_preds,
+                box_preds=box_preds, shared=shared,
+            )
+
+        # ---- dynamic-weight regression (teacher branches) ----
         score_cls = jax.nn.sigmoid(cls_preds).argmax(-1)
         score_val = jax.nn.sigmoid(cls_preds).max(-1)
         stat_ext = jnp.where(
@@ -565,6 +583,7 @@ class PointHeadVoteSASAStatisticDistillation(nn.Module):
             vote_cfg=dict(self.model_cfg["S_VOTE_CONFIG"]),
             vsa_cfg=dict(self.model_cfg["S_VSA_CONFIG"]),
             num_class=self.num_class, box_coder=self.box_coder,
+            gated_reg=False,  # reference student reg is a plain REG_FC MLP
             name="s_head",
         )
         # ONE shared statistics set for both branches (transferred from the
