@@ -248,6 +248,10 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         tg_max = int(os.environ.get("TSM_BYKEY_TG_MAX", "0"))
         if tg_max and K % tg_max == 0:
             tg = tg_max
+    if sb is None:
+        sb_env = int(os.environ.get("TSM_BYKEY_SB", "0"))
+        if sb_env:
+            sb = sb_env  # A/B probe: force the window width ladder-wide
 
     # TSM_BYKEY_TIGHT_VMEM=1 (set by the TRAINING entry points): inside
     # training graphs, operands reach the kernel in non-native layouts
@@ -286,8 +290,10 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         # until the estimate fits. If NOTHING fits in f32 (the
         # 256-channel training convs: 7 MB of f32 weights alone), force
         # bf16 — with half-width features+weights even tg=9 fits.
+        # default degradation order unchanged; the trailing 384/128-wide
+        # entries are reachable only by explicit sb (TSM_BYKEY_SB probe)
         ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
-                  (256, 1)]
+                  (256, 1), (384, 9), (128, 9), (128, 1)]
         cands = [(sb_c, tg_c) for sb_c, tg_c in ladder
                  if (sb is None or sb_c == sb)
                  and (tg is None or tg_c == tg) and K % tg_c == 0]
