@@ -408,7 +408,8 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
 
     sxyz = take(xyz, order)                               # invalid -> 1e30
     n_feat0 = 0 if src_feat is None else src_feat.shape[-1]
-    sb = SB if n_feat0 <= 3 else SB_LARGE_C
+    sb_env = int(__import__("os").environ.get("TSM_GROUP_SB", "0"))
+    sb = (sb_env or SB) if n_feat0 <= 3 else min(sb_env or SB_LARGE_C, 256)
     pad_n = (-N) % sb
     if pad_n:
         sxyz = jnp.pad(sxyz, ((0, 0), (0, pad_n), (0, 0)),
