@@ -290,14 +290,15 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         # until the estimate fits. If NOTHING fits in f32 (the
         # 256-channel training convs: 7 MB of f32 weights alone), force
         # bf16 — with half-width features+weights even tg=9 fits.
-        # r4 re-sweep with 128-aligned window starts: sb=128 wins on every
-        # production shape (3.8 vs 6.2, 1.9 vs 9.8, 1.0 ms/call across the
-        # three recorded shapes; bitwise-equal outputs) — one lane-tile-wide
-        # one-hots lay out natively where (qb*tg, 512) needs 4 lane tiles.
-        # Narrow windows also shrink the scoped-VMEM transients 4x, so the
-        # 256-channel training convs keep tg=9 instead of degrading.
-        ladder = [(128, 9), (256, 9), (512, 9), (128, 3), (128, 1),
-                  (256, 1)]
+        # r4 micro re-sweep: sb=128 wins 1.6-5x on SUBMANIFOLD-like shapes
+        # (same source/target key sets, span ~ qb rows) but the model-level
+        # A/B showed the narrow default is pathological on STRIDED convs
+        # (denser source keys: a 256-target block spans ~8x more source
+        # rows -> 4x the window trips). Default stays 512-first; narrow
+        # widths are reachable via explicit sb / TSM_BYKEY_SB until the
+        # caller passes a subm-vs-strided hint.
+        ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
+                  (256, 1), (384, 9), (128, 9), (128, 1)]
         cands = [(sb_c, tg_c) for sb_c, tg_c in ladder
                  if (sb is None or sb_c == sb)
                  and (tg is None or tg_c == tg) and K % tg_c == 0]
