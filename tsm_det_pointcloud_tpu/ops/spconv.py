@@ -119,22 +119,22 @@ def _use_bykey():
     return _use_pallas_gather()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _bykey_conv(features, skeys, qkeys, weight, sentinel):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _bykey_conv(features, skeys, qkeys, weight, sentinel, subm=False):
     from . import spconv_pallas
 
     return spconv_pallas.gather_matmul_bykey(
         features, skeys, qkeys, weight, sentinel,
-        bf16=compute_dtype() is not None,
+        bf16=compute_dtype() is not None, subm=subm,
     )
 
 
-def _bykey_fwd(features, skeys, qkeys, weight, sentinel):
-    return (_bykey_conv(features, skeys, qkeys, weight, sentinel),
+def _bykey_fwd(features, skeys, qkeys, weight, sentinel, subm=False):
+    return (_bykey_conv(features, skeys, qkeys, weight, sentinel, subm),
             (features, skeys, qkeys, weight))
 
 
-def _bykey_bwd(sentinel, res, g):
+def _bykey_bwd(sentinel, subm, res, g):
     features, skeys, qkeys, weight = res
     from . import spconv_pallas
 
@@ -166,10 +166,15 @@ def _bykey_bwd(sentinel, res, g):
 _bykey_conv.defvjp(_bykey_fwd, _bykey_bwd)
 
 
-def _gather_conv_bykey(features, rulebook, weight, out_valid, grid):
+def _gather_conv_bykey(features, rulebook, weight, out_valid, grid,
+                       subm=False):
+    # subm: source/target key sets coincide, so a target block's matching
+    # source span is ~qb rows and narrow (128-wide) kernel windows win
+    # (r4 sweep); strided/inverse convs span ~8x more source rows per
+    # block and keep the wide windows.
     out = _bykey_conv(
         features, rulebook.skeys, rulebook.qkeys, weight,
-        int(np.prod(grid)),
+        int(np.prod(grid)), subm,
     )
     return jnp.where(out_valid[..., None], out, 0.0)
 
@@ -312,7 +317,8 @@ def subm_conv3d(features, coords, valid, weight, grid, table=None,
     if rulebook is None:
         rulebook = build_subm_rulebook(coords, valid, grid, k, table)
     if isinstance(rulebook, LazyRulebook):
-        return _gather_conv_bykey(features, rulebook, weight, valid, grid)
+        return _gather_conv_bykey(features, rulebook, weight, valid, grid,
+                                  subm=True)
     idx_all, found_all = rulebook
     return _gather_conv(
         features, idx_all, found_all & valid[:, None, :], weight, valid

@@ -218,10 +218,10 @@ def _bykey_kernel(anch_ref, qk_ref, sk_ref, f_ref, w_ref, o_ref, *, v_hi,
 
 @functools.partial(jax.jit,
                    static_argnames=("sentinel", "interpret", "bf16", "qb",
-                                    "sb", "tg"))
+                                    "sb", "tg", "subm"))
 def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
                         interpret=False, bf16=False, qb=QB, sb=None,
-                        tg=None):
+                        tg=None, subm=False):
     """out[b, q] = sum_k weight[k]^T @ features[b, row(skeys == qkeys[b,k,q])]
     — the probe (ops/spconv._lookup_batched) and gather fused in one pass.
 
@@ -290,15 +290,18 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         # until the estimate fits. If NOTHING fits in f32 (the
         # 256-channel training convs: 7 MB of f32 weights alone), force
         # bf16 — with half-width features+weights even tg=9 fits.
-        # r4 micro re-sweep: sb=128 wins 1.6-5x on SUBMANIFOLD-like shapes
-        # (same source/target key sets, span ~ qb rows) but the model-level
-        # A/B showed the narrow default is pathological on STRIDED convs
-        # (denser source keys: a 256-target block spans ~8x more source
-        # rows -> 4x the window trips). Default stays 512-first; narrow
-        # widths are reachable via explicit sb / TSM_BYKEY_SB until the
-        # caller passes a subm-vs-strided hint.
-        ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
-                  (256, 1), (384, 9), (128, 9), (128, 1)]
+        # r4 micro re-sweep: sb=128 wins 1.6-5x on SUBMANIFOLD shapes
+        # (same source/target key sets, span ~ qb rows), while STRIDED /
+        # inverse convs (denser source keys: a 256-target block spans ~8x
+        # more source rows -> 4x the window trips) keep the wide windows —
+        # a global sb=128 default made the full KITTI eval pathological.
+        # The caller passes subm=True (ops/spconv.subm_conv3d) to select
+        # the narrow-first ladder.
+        if subm:
+            ladder = [(128, 9), (256, 9), (512, 9), (128, 3), (128, 1)]
+        else:
+            ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
+                      (256, 1), (384, 9), (128, 9), (128, 1)]
         cands = [(sb_c, tg_c) for sb_c, tg_c in ladder
                  if (sb is None or sb_c == sb)
                  and (tg is None or tg_c == tg) and K % tg_c == 0]
