@@ -297,11 +297,15 @@ def gather_matmul_bykey(features, skeys, qkeys, weight, sentinel,
         # a global sb=128 default made the full KITTI eval pathological.
         # The caller passes subm=True (ops/spconv.subm_conv3d) to select
         # the narrow-first ladder.
-        if subm:
-            ladder = [(128, 9), (256, 9), (512, 9), (128, 3), (128, 1)]
-        else:
-            ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
-                      (256, 1), (384, 9), (128, 9), (128, 1)]
+        # Model-level A/B (r4): narrow-first for subm convs measured
+        # 153.1 vs 157.1 scans/s on the KITTI bench — the micro-sweep's
+        # subm win does NOT transfer to the real clustered key
+        # distribution (spans per 256-query block exceed qb rows). Both
+        # paths keep the wide-first ladder; the subm hint plumbing stays
+        # for future per-shape tuning, and narrow widths remain reachable
+        # via explicit sb / TSM_BYKEY_SB.
+        ladder = [(512, 9), (512, 3), (256, 9), (256, 3), (512, 1),
+                  (256, 1), (384, 9), (128, 9), (128, 1)]
         cands = [(sb_c, tg_c) for sb_c, tg_c in ladder
                  if (sb is None or sb_c == sb)
                  and (tg is None or tg_c == tg) and K % tg_c == 0]
