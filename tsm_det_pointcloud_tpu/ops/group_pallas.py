@@ -409,7 +409,12 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     sxyz = take(xyz, order)                               # invalid -> 1e30
     n_feat0 = 0 if src_feat is None else src_feat.shape[-1]
     sb_env = int(__import__("os").environ.get("TSM_GROUP_SB", "0"))
-    sb = (sb_env or SB) if n_feat0 <= 3 else min(sb_env or SB_LARGE_C, 256)
+    # r4 model-level A/B: 384-wide source blocks win at <=16k sources
+    # (KITTI b16: 157.1 -> 159.0 scans/s; the finer Morton blocks tighten
+    # the per-visit bboxes) while the dense 122,880-point Waymo layer-0
+    # prefers 512 (17.91 vs 17.66 with 384 everywhere) — split on N.
+    sb_auto = SB if src_xyz.shape[1] >= 65536 else 384
+    sb = (sb_env or sb_auto) if n_feat0 <= 3 else min(sb_env or SB_LARGE_C, 256)
     pad_n = (-N) % sb
     if pad_n:
         sxyz = jnp.pad(sxyz, ((0, 0), (0, pad_n), (0, 0)),
