@@ -10,6 +10,12 @@ individual benches and runs them back-to-back inside a single process:
 
 Each prints its own one-line JSON; failures in one bench don't stop the
 rest (the traceback is printed and the driver moves on).
+
+CAVEAT (measured r4): the LATER benches read low in this shared process
+(waymo 16.06 here vs 17.68/17.92 standalone on the same commit —
+compilation-cache/allocator state from the KITTI run pollutes them). The
+first (KITTI) number is clean; for waymo/train use standalone runs of
+tools/bench_waymo.py / tools/bench_train.py.
 """
 import pathlib
 import sys
