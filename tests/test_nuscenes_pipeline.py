@@ -247,3 +247,57 @@ def test_trainval_requires_split_data(tmp_path):
         json.dumps({"train": ["scene-0061"], "val": ["scene-0103"]}))
     toks = tables.split_scene_tokens()
     assert len(toks["train"]) == 1 and len(toks["val"]) == 1
+
+
+def test_nuscenes_evaluation_nds_roundtrip(nusc_root):
+    """GT fed back as predictions through the loader's OFFICIAL NDS
+    evaluation: every matched box has zero TP error, so NDS ~= 1 up to
+    the protocol's AP integration bounds."""
+    import jax.numpy as jnp
+
+    from tsm_det_pointcloud_tpu.datasets.nuscenes.nuscenes_dataset import (
+        NuScenesDataset, create_nuscenes_info,
+    )
+    from tsm_det_pointcloud_tpu.utils.common_utils import create_logger
+
+    if not (nusc_root / "v1.0-mini"
+            / "nuscenes_infos_3sweeps_val.pkl").exists():
+        create_nuscenes_info("v1.0-mini", nusc_root, nusc_root, max_sweeps=3)
+    cfg = EDict({
+        "DATASET": "NuScenesDataset",
+        "DATA_PATH": str(nusc_root),
+        "VERSION": "v1.0-mini",
+        "MAX_SWEEPS": 1,
+        "INFO_PATH": {"train": ["nuscenes_infos_3sweeps_train.pkl"],
+                      "test": ["nuscenes_infos_3sweeps_val.pkl"]},
+        "POINT_FEATURE_ENCODING": {
+            "encoding_type": "absolute_coordinates_encoding",
+            "used_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+            "src_feature_list": ["x", "y", "z", "intensity", "timestamp"],
+        },
+        "DATA_PROCESSOR": [],
+        "POINT_CLOUD_RANGE": [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0],
+        "DATA_AUGMENTOR": {"DISABLE_AUG_LIST": ["placeholder"],
+                           "AUG_CONFIG_LIST": []},
+    })
+    ev = NuScenesDataset(cfg, ["car"], training=False, root_path=None,
+                         logger=create_logger())
+    dets = []
+    for i in range(len(ev.infos)):
+        g = np.asarray(ev.infos[i]["gt_boxes"])
+        dets += ev.generate_prediction_dicts(
+            {"frame_id": ["f%d" % i], "batch_size": 1,
+             "metadata": [ev.infos[i].get("token")]},
+            [{"pred_boxes": jnp.asarray(g[:, :7]),
+              "pred_scores": jnp.ones((len(g),)),
+              "pred_labels": jnp.ones((len(g),), jnp.int32),
+              "count": jnp.asarray(len(g))}], ["car"])
+    s, d = ev.evaluation(dets, ["car"])
+    # perfect boxes, no velocity/attribute predictions: mAP=1, mATE/mASE/
+    # mAOE=0, mAVE/mAAE capped at 1 -> NDS = (5*1 + 3*1)/10 = 0.8 exactly
+    # (the official detection-score formula)
+    assert d["mAP"] > 0.999 and abs(d["NDS"] - 0.8) < 1e-3, s
+    assert d["mATE"] < 1e-6 and d["mAOE"] < 1e-6, s
+    # and the non-official branch stays loudly labeled
+    s2, _ = ev.evaluation(dets, ["car"], eval_metric="waymo")
+    assert "NON-OFFICIAL" in s2
