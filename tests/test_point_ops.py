@@ -213,3 +213,35 @@ def test_fps_block_pruned_duplicate_points_ties():
                                            interpret=True)
     )
     np.testing.assert_array_equal(ref, got)
+
+
+def test_block_pruned_two_rows_bitwise():
+    """The 2-row-per-program block-pruned FPS variant (overlapped SREG
+    syncs; r5 perf candidate, flag-gated) is bitwise-equal to the XLA
+    oracle, including the odd-batch pad path and valid masks."""
+    import numpy as np
+    from tsm_det_pointcloud_tpu.ops.fps_pallas import (
+        furthest_point_sample_block_pruned,
+    )
+    from tsm_det_pointcloud_tpu.ops.sampling import (
+        _furthest_point_sample_xla,
+    )
+
+    rng = np.random.RandomState(11)
+    for B in (2, 3):
+        N, M = 4096, 256
+        xyz = np.zeros((B, N, 3), np.float32)
+        # clustered like the bench distribution
+        for b in range(B):
+            for k in range(8):
+                c = rng.uniform(-50, 50, 3) * [1, 1, 0.02]
+                xyz[b, k * 512:(k + 1) * 512] = c + rng.uniform(
+                    -2, 2, (512, 3))
+        mask = np.ones((B, N), bool)
+        mask[:, N - 700:] = False
+        for vm in (None, jnp.asarray(mask)):
+            want = np.asarray(_furthest_point_sample_xla(
+                jnp.asarray(xyz), M, vm))
+            got = np.asarray(furthest_point_sample_block_pruned(
+                jnp.asarray(xyz), M, vm, interpret=True, two_rows=True))
+            np.testing.assert_array_equal(got, want)

@@ -348,11 +348,12 @@ def _fps_block_kernel(n_steps, nb, full_sweep, pk_ref, init_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("npoint", "cell", "interpret", "full_sweep")
+    jax.jit, static_argnames=("npoint", "cell", "interpret", "full_sweep",
+                              "two_rows")
 )
 def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
                                        cell=1.0, interpret=False,
-                                       full_sweep=False):
+                                       full_sweep=False, two_rows=False):
     """Exact d-fps via Morton-block pruning: (B, N, 3) -> (B, npoint) i32.
     Bitwise-equal to sampling._furthest_point_sample_xla; intended for
     N >= ~64k where the lockstep kernel's full sweeps dominate."""
@@ -424,6 +425,37 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
     packed = jnp.concatenate(
         [blk(xs), blk(ys), blk(zs), blk(ois.astype(jnp.float32))], axis=2
     )                                           # (B, nb, 32, 128)
+    if two_rows:
+        # two batch rows per program (overlapped SREG syncs); pad odd B
+        # with a duplicate of row 0 and drop it after
+        Bp = B + (B % 2)
+        if Bp != B:
+            dup = lambda a: jnp.concatenate([a, a[:1]], axis=0)
+            packed, initb, bbox, wb0 = (dup(packed), dup(blk(init)),
+                                        dup(bbox), dup(wb0))
+        else:
+            initb = blk(init)
+        kernel = functools.partial(_fps_block_kernel_2row, mp, nb)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bp // 2,),
+            in_specs=[
+                pl.BlockSpec((2, nb, 32, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, nb, 8, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 8, nbl), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((2, mb, 8, 128), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, mb, 8, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((2, nb, 8, 128), jnp.float32)],
+            interpret=interpret,
+        )(packed, initb, bbox, wb0)
+        return out.reshape(Bp, mp)[:B, :npoint]
     kernel = functools.partial(_fps_block_kernel, mp, nb, full_sweep)
     out = pl.pallas_call(
         kernel,
@@ -445,6 +477,149 @@ def furthest_point_sample_block_pruned(xyz, npoint, valid_mask=None,
         interpret=interpret,
     )(packed, blk(init), bbox, wb0)
     return out.reshape(B, mp)[:, :npoint]
+
+
+def _fps_block_kernel_2row(n_steps, nb, pk_ref, init_ref, bbox_ref,
+                           wb0_ref, out_ref, mind_ref):
+    """TWO batch rows per program (r5 candidate, flag-gated, unbenched).
+
+    The single-row kernel's per-step critical path is dominated by SREG
+    syncs (the `find` scans and `wb` extraction, ~100 cycles each) that
+    serialize behind vector work. Two independent rows advanced in ONE
+    instruction stream issue their syncs back-to-back so the latencies
+    overlap; the pruned visit loop is MERGED (one while over both rows'
+    active scans) and branch-free — a finished row keeps re-applying a
+    masked no-op update to its last block, so the body stays a single
+    basic block for the scheduler. Bitwise-identical per row to
+    _fps_block_kernel (same op order per row; tested in
+    tests/test_point_ops.py::test_block_pruned_two_rows_bitwise)."""
+    nbl = bbox_ref.shape[2]
+    mind_ref[...] = init_ref[...]
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    nbigf = jnp.float32(_NBIG)
+
+    def consts(r):
+        return (bbox_ref[r, 0:1, :], bbox_ref[r, 1:2, :],
+                bbox_ref[r, 2:3, :], bbox_ref[r, 3:4, :],
+                bbox_ref[r, 4:5, :], bbox_ref[r, 5:6, :])
+
+    cc = (consts(0), consts(1))
+
+    def own(r, wb, nxt):
+        """Apply the just-picked point of row r (always-active own block);
+        returns its coords + the block's new (bmax, tie)."""
+        pk = pk_ref[r, wb]
+        selm = pk[3 * _RG:4 * _RG] == nxt
+        sel3 = jnp.concatenate([selm, selm, selm], axis=0)
+        lr = jnp.max(jnp.where(sel3, pk[0:3 * _RG], -jnp.inf),
+                     axis=1, keepdims=True)
+        xj = jnp.max(lr[0:_RG], axis=0, keepdims=True)
+        yj = jnp.max(lr[_RG:2 * _RG], axis=0, keepdims=True)
+        zj = jnp.max(lr[2 * _RG:3 * _RG], axis=0, keepdims=True)
+        xs = pk[0:_RG]
+        ys = pk[_RG:2 * _RG]
+        zs = pk[2 * _RG:3 * _RG]
+        d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
+        m2 = jnp.minimum(mind_ref[r, wb], d2)
+        mind_ref[r, wb] = m2
+        bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
+        tie = jnp.min(
+            jnp.where(m2 == bmax, pk[3 * _RG:4 * _RG], nbigf).reshape(1, -1),
+            axis=1, keepdims=True,
+        )
+        return xj, yj, zj, bmax, tie
+
+    def upd_masked(r, g, xj, yj, zj, bm, barg):
+        """Visit block g of row r; g == nb means this row's scan is done —
+        the clamped re-read/re-write of block nb-1 with a where-masked
+        minimum is then an exact no-op (keeps the loop body branch-free)."""
+        live = g < nb
+        gc = jnp.minimum(g, nb - 1)
+        pk = pk_ref[r, gc]
+        xs = pk[0:_RG]
+        ys = pk[_RG:2 * _RG]
+        zs = pk[2 * _RG:3 * _RG]
+        d2 = (xs - xj) ** 2 + (ys - yj) ** 2 + (zs - zj) ** 2
+        m2 = jnp.where(live, jnp.minimum(mind_ref[r, gc], d2),
+                       mind_ref[r, gc])
+        mind_ref[r, gc] = m2
+        bmax = jnp.max(m2.reshape(1, -1), axis=1, keepdims=True)
+        tie = jnp.min(
+            jnp.where(m2 == bmax, pk[3 * _RG:4 * _RG], nbigf).reshape(1, -1),
+            axis=1, keepdims=True,
+        )
+        sel = (lanes == gc) & live
+        return jnp.where(sel, bmax, bm), jnp.where(sel, tie, barg)
+
+    def step(i, carry):
+        (bm_a, barg_a, outbuf_a, nxt_a, wb_a,
+         bm_b, barg_b, outbuf_b, nxt_b, wb_b) = carry
+        xa, ya, za, bmax_a, tie_a = own(0, wb_a, nxt_a)
+        xb, yb, zb, bmax_b, tie_b = own(1, wb_b, nxt_b)
+        bm_a = jnp.where(lanes == wb_a, bmax_a, bm_a)
+        barg_a = jnp.where(lanes == wb_a, tie_a, barg_a)
+        bm_b = jnp.where(lanes == wb_b, bmax_b, bm_b)
+        barg_b = jnp.where(lanes == wb_b, tie_b, barg_b)
+
+        def gaps(c, xj, yj, zj):
+            lox, hix, loy, hiy, loz, hiz = c
+            gx = jnp.maximum(jnp.maximum(lox - xj, xj - hix), 0.0)
+            gy = jnp.maximum(jnp.maximum(loy - yj, yj - hiy), 0.0)
+            gz = jnp.maximum(jnp.maximum(loz - zj, zj - hiz), 0.0)
+            return gx * gx + gy * gy + gz * gz
+
+        act_a = (gaps(cc[0], xa, ya, za) < bm_a) & (lanes != wb_a)
+        act_b = (gaps(cc[1], xb, yb, zb) < bm_b) & (lanes != wb_b)
+
+        def find(act, cur):
+            return jnp.min(jnp.where(act & (lanes >= cur), lanes, nb))
+
+        def body(st):
+            ga, gb, bm_a, barg_a, bm_b, barg_b = st
+            bm_a, barg_a = upd_masked(0, ga, xa, ya, za, bm_a, barg_a)
+            bm_b, barg_b = upd_masked(1, gb, xb, yb, zb, bm_b, barg_b)
+            return (find(act_a, ga + 1), find(act_b, gb + 1),
+                    bm_a, barg_a, bm_b, barg_b)
+
+        _, _, bm_a, barg_a, bm_b, barg_b = jax.lax.while_loop(
+            lambda st: (st[0] < nb) | (st[1] < nb), body,
+            (find(act_a, 0), find(act_b, 0), bm_a, barg_a, bm_b, barg_b),
+        )
+
+        def select(bm, barg):
+            kmax = jnp.max(bm, axis=1, keepdims=True)
+            hitb = bm == kmax
+            nxt = jnp.min(jnp.where(hitb, barg, nbigf), axis=1,
+                          keepdims=True)
+            wb = jnp.min(jnp.where(hitb & (barg == nxt), lanes, nb))
+            return nxt, jnp.minimum(wb, nb - 1)
+
+        nxt_a, wb_a = select(bm_a, barg_a)
+        nxt_b, wb_b = select(bm_b, barg_b)
+
+        w = i % 1024
+        wmask = (sub_i == w // 128) & (lane_i == w % 128)
+        outbuf_a = jnp.where(wmask, nxt_a.astype(jnp.int32), outbuf_a)
+        outbuf_b = jnp.where(wmask, nxt_b.astype(jnp.int32), outbuf_b)
+
+        @pl.when(w == 1023)
+        def _():
+            out_ref[0, i // 1024] = outbuf_a
+            out_ref[1, i // 1024] = outbuf_b
+
+        return (bm_a, barg_a, outbuf_a, nxt_a, wb_a,
+                bm_b, barg_b, outbuf_b, nxt_b, wb_b)
+
+    z88 = jnp.zeros((8, 128), jnp.int32)
+    z11 = jnp.zeros((1, 1), jnp.float32)
+    carry = (bbox_ref[0, 6:7, :], bbox_ref[0, 7:8, :], z88, z11,
+             jnp.minimum(wb0_ref[0, 0, 0], nb - 1),
+             bbox_ref[1, 6:7, :], bbox_ref[1, 7:8, :], z88, z11,
+             jnp.minimum(wb0_ref[1, 0, 0], nb - 1))
+    jax.lax.fori_loop(1, n_steps, step, carry)
 
 
 def tpu_available():
