@@ -1,23 +1,21 @@
-"""Run every headline benchmark in ONE process (one TPU claim).
+"""Run every headline benchmark, one SUBPROCESS per bench (r5 default).
 
-The axon relay serializes device claims and a claim can take minutes, so
-separate bench invocations pay it repeatedly — this driver imports the
-individual benches and runs them back-to-back inside a single process:
+r4 measured that benches sharing one process pollute each other: waymo
+read 16.06 in-process vs 17.68/17.92 standalone on the same commit
+(compilation-cache/allocator state from the preceding KITTI run). Each
+bench now runs in its own process — it pays an axon device claim per
+bench, but the numbers match standalone runs by construction.
 
   * bench.py           KITTI TSM eval throughput (b16 x 16384)
   * tools/bench_waymo  Waymo TSM eval throughput (b8 x 122880)
   * tools/bench_train  TSM distill train-step throughput (b8)
 
-Each prints its own one-line JSON; failures in one bench don't stop the
-rest (the traceback is printed and the driver moves on).
-
-CAVEAT (measured r4): the LATER benches read low in this shared process
-(waymo 16.06 here vs 17.68/17.92 standalone on the same commit —
-compilation-cache/allocator state from the KITTI run pollutes them). The
-first (KITTI) number is clean; for waymo/train use standalone runs of
-tools/bench_waymo.py / tools/bench_train.py.
+`--inproc` restores the old single-claim behavior (first number clean,
+later ones low-reading — smoke use only).
 """
+import argparse
 import pathlib
+import subprocess
 import sys
 import traceback
 
@@ -25,22 +23,47 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tools"))
 
+BENCHES = (
+    ("kitti_eval", ROOT / "bench.py"),
+    ("waymo_eval", ROOT / "tools" / "bench_waymo.py"),
+    ("train_step", ROOT / "tools" / "bench_train.py"),
+)
+
 
 def main():
-    import bench
-    import bench_train
-    import bench_waymo
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inproc", action="store_true",
+                    help="one process / one device claim (later benches "
+                         "read low; see module docstring)")
+    args, _ = ap.parse_known_args()
 
-    for name, fn in (
-        ("kitti_eval", bench.main),
-        ("waymo_eval", bench_waymo.main),
-        ("train_step", bench_train.main),
-    ):
+    if args.inproc:
+        import bench
+        import bench_train
+        import bench_waymo
+
+        for name, fn in (("kitti_eval", bench.main),
+                         ("waymo_eval", bench_waymo.main),
+                         ("train_step", bench_train.main)):
+            print(f"=== {name} ===", flush=True)
+            try:
+                fn()
+            except Exception:
+                traceback.print_exc()
+        return
+
+    for name, path in BENCHES:
         print(f"=== {name} ===", flush=True)
         try:
-            fn()
-        except Exception:
-            traceback.print_exc()
+            r = subprocess.run([sys.executable, str(path)], timeout=3600,
+                               capture_output=True, text=True)
+            sys.stdout.write(r.stdout)
+            if r.returncode != 0:
+                tail = (r.stderr or "").strip().splitlines()[-5:]
+                print(f"{name}: FAIL rc={r.returncode} "
+                      f"{' | '.join(tail)}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT", flush=True)
 
 
 if __name__ == "__main__":

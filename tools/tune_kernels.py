@@ -6,10 +6,17 @@ forward) and _fused_group (query+group, ~25%) at their exact production
 shapes under the two-point chained protocol (tools/bench_timing.py), over
 a grid of block-size parameters. Prints ms per call for each variant.
 
+r5 (VERDICT r4 #6): every configuration runs in its OWN subprocess by
+default — the r4 sweep produced degenerate 0.000 ms rows when configs
+switched inside one process (compilation-cache/allocator state leaks
+between timings). `--inproc` restores the old single-claim behavior for
+quick smoke runs; trust only subprocess rows for tuning decisions.
+
 Usage: python tools/tune_kernels.py [--which bykey|group|all] [--b 16]
 """
 import argparse
 import pathlib
+import subprocess
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -165,6 +172,42 @@ def bench_group(args):
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
+CONV_PARAMS = [(256, 512, 9), (256, 384, 9), (256, 256, 9),
+               (256, 128, 9), (128, 256, 9)]
+GROUP_PARAMS = [(128, 512, 4), (128, 256, 4), (128, 384, 4)]
+
+
+def _parse_params(s):
+    return [tuple(int(x) for x in grp.split(",")) for grp in s.split(";")]
+
+
+def _sweep_subprocess(args):
+    """Parent mode: one subprocess per (which, params) configuration. Each
+    child claims the device fresh, so no compilation-cache or allocator
+    state crosses configurations (the r4 0.000-ms failure mode)."""
+    jobs = []
+    if args.which in ("bykey", "all"):
+        jobs += [("bykey", p) for p in CONV_PARAMS]
+    if args.which in ("group", "all"):
+        jobs += [("group", p) for p in GROUP_PARAMS]
+    me = str(pathlib.Path(__file__).resolve())
+    for which, p in jobs:
+        cmd = [sys.executable, me, "--inproc", "--which", which,
+               "--params", ",".join(map(str, p)),
+               "--b", str(args.b), "--reps", str(args.reps),
+               "--n_small", str(args.n_small), "--n_big", str(args.n_big),
+               "--shape", str(args.shape)]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1800)
+        for line in r.stdout.splitlines():
+            if line.startswith(("bykey", "group")):
+                print(line, flush=True)
+        if r.returncode != 0:
+            tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+            print(f"{which} {p}: SUBPROCESS FAIL rc={r.returncode} "
+                  f"{' | '.join(tail)}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="all",
@@ -175,12 +218,21 @@ def main():
     ap.add_argument("--n_big", type=int, default=120)
     ap.add_argument("--shape", type=int, default=-1,
                     help="bykey: only run this shape index")
+    ap.add_argument("--inproc", action="store_true",
+                    help="run all configs in THIS process (old behavior; "
+                         "later rows are untrustworthy across config "
+                         "switches — see module docstring)")
+    ap.add_argument("--params", type=str, default="",
+                    help="semicolon-separated qb,sb,tg (bykey) or QB,SB,KC "
+                         "(group) triples; replaces the built-in grid")
     args = ap.parse_args()
-    # r4: re-sweep sb now that windows start 128-aligned (the r2 sweep ran
-    # on sb-grid-quantized windows, where narrow sb lost to double visits)
-    args.conv_params = [(256, 512, 9), (256, 384, 9), (256, 256, 9),
-                        (256, 128, 9), (128, 256, 9)]
-    args.group_params = [(128, 512, 4), (128, 256, 4), (128, 384, 4)]
+    args.conv_params = (_parse_params(args.params) if args.params
+                        else CONV_PARAMS)
+    args.group_params = (_parse_params(args.params) if args.params
+                         else GROUP_PARAMS)
+    if not args.inproc:
+        _sweep_subprocess(args)
+        return
     if args.which in ("bykey", "all"):
         bench_bykey(args)
     if args.which in ("group", "all"):
