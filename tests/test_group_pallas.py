@@ -223,3 +223,36 @@ def test_saturated_neighborhoods_exact_cnt_and_first_k():
         assert (g[0, qi, k:] == 0).all()
     assert c[0, 0] > 40 * ns   # the saturated case really saturates
     assert c[0, 2] == 0
+
+
+def test_pair_kernel_bitwise_vs_single(data, monkeypatch):
+    """The paired-query-block kernel (_kernel_pair, r5) is bitwise-equal
+    to the single-block kernel on every output (grouped/idx/cnt), for
+    both the large-C (pf) and small-C (bitcast) payload paths, including
+    the odd-nq pad path."""
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+
+    # Q=300 -> nq=3 query blocks: exercises the odd-nq pad block
+    qxyz3 = np.concatenate([qxyz, qxyz[:, :100]], axis=1)
+    qvalid3 = np.concatenate([qvalid, qvalid[:, :100]], axis=1)
+
+    for nfeat, ns in ((C, 16), (1, 8)):
+        feat = sfeat[..., :nfeat]
+        prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(feat),
+                                  jnp.asarray(svalid))
+
+        def run():
+            gp._fused_group._clear_cache()
+            return gp.fused_query_group(
+                prep, jnp.asarray(qxyz3), ns, 2.4, 0.6,
+                q_valid=jnp.asarray(qvalid3), interpret=True)
+
+        monkeypatch.setattr(gp, "_PAIR_ENV", "0")
+        g0, i0, c0 = map(np.asarray, run())
+        monkeypatch.setattr(gp, "_PAIR_ENV", "1")
+        g1, i1, c1 = map(np.asarray, run())
+        gp._fused_group._clear_cache()
+
+        np.testing.assert_array_equal(c1, c0)
+        np.testing.assert_array_equal(i1, i0)
+        np.testing.assert_array_equal(g1, g0)

@@ -245,3 +245,34 @@ def test_block_pruned_two_rows_bitwise():
             got = np.asarray(furthest_point_sample_block_pruned(
                 jnp.asarray(xyz), M, vm, interpret=True, two_rows=True))
             np.testing.assert_array_equal(got, want)
+
+
+def test_block_pruned_n_rows_bitwise():
+    """The generic R-row kernel (r5: 4-row FPS, VERDICT r4 #4) is
+    bitwise-equal to the XLA oracle, including the pad path (B=3 with
+    R=4 pads one duplicate row) and valid masks."""
+    import numpy as np
+    from tsm_det_pointcloud_tpu.ops.fps_pallas import (
+        furthest_point_sample_block_pruned,
+    )
+    from tsm_det_pointcloud_tpu.ops.sampling import (
+        _furthest_point_sample_xla,
+    )
+
+    rng = np.random.RandomState(12)
+    for B in (4, 3):
+        N, M = 4096, 256
+        xyz = np.zeros((B, N, 3), np.float32)
+        for b in range(B):
+            for k in range(8):
+                c = rng.uniform(-50, 50, 3) * [1, 1, 0.02]
+                xyz[b, k * 512:(k + 1) * 512] = c + rng.uniform(
+                    -2, 2, (512, 3))
+        mask = np.ones((B, N), bool)
+        mask[:, N - 700:] = False
+        for vm in (None, jnp.asarray(mask)):
+            want = np.asarray(_furthest_point_sample_xla(
+                jnp.asarray(xyz), M, vm))
+            got = np.asarray(furthest_point_sample_block_pruned(
+                jnp.asarray(xyz), M, vm, interpret=True, rows=4))
+            np.testing.assert_array_equal(got, want)

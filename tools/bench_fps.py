@@ -24,7 +24,7 @@ from tools.bench_timing import measure_per_iter
 
 
 def bench_case(name, B, N, M, kind="pallas", n_small=2, n_big=6,
-               dist="uniform", full_sweep=False):
+               dist="uniform", full_sweep=False, rows=0):
     from tsm_det_pointcloud_tpu.ops import fps_pallas
 
     rng = np.random.RandomState(0)
@@ -45,7 +45,7 @@ def bench_case(name, B, N, M, kind="pallas", n_small=2, n_big=6,
     else:
         fps = functools.partial(
             fps_pallas.furthest_point_sample_block_pruned, npoint=M,
-            full_sweep=full_sweep)
+            full_sweep=full_sweep, rows=rows)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def chained(x, n):
@@ -72,14 +72,18 @@ def main():
     ap.add_argument("--dist", default="uniform",
                     choices=["uniform", "bench"])
     ap.add_argument("--full-sweep", action="store_true")
+    ap.add_argument("--rows", type=int, default=0,
+                    help="block kind: batch rows per program (0=single, "
+                         "2=r4 two-row, 4=r5 n-row)")
     args = ap.parse_args()
     print("devices:", jax.devices())
     if not args.waymo_only:
         bench_case("KITTI layer0 (b16)", 16, 16384, 4096, kind=args.kind,
-                   dist=args.dist, full_sweep=args.full_sweep)
+                   dist=args.dist, full_sweep=args.full_sweep,
+                   rows=args.rows)
     bench_case("Waymo layer0 (b8)", 8, 122880, 16384, kind=args.kind,
                n_small=1, n_big=3, dist=args.dist,
-               full_sweep=args.full_sweep)
+               full_sweep=args.full_sweep, rows=args.rows)
 
 
 if __name__ == "__main__":

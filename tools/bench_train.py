@@ -99,7 +99,7 @@ def main():
     # MFU: XLA's own flop count for ONE train step / wall / peak MXU rate.
     # v5e peak is 197 TFLOP/s bf16 (the MXU ceiling this code can reach;
     # f32 ops run at half that, so f32-heavy graphs cap at ~0.5 MFU here).
-    mfu = None
+    mfu = hbm_frac = None
     try:
         lowered = train_n.lower(params, opt_state, rest, pts, jnp.int32(1))
         cost = lowered.compile().cost_analysis()
@@ -108,6 +108,12 @@ def main():
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             mfu = flops / dt / 197e12
+        # achieved HBM bandwidth (roofline companion to MFU — the
+        # "gather-bound" claim measured, not asserted): XLA's bytes
+        # accessed for one step / wall / v5e peak 819 GB/s
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        if bytes_acc > 0:
+            hbm_frac = bytes_acc / dt / 819e9
     except Exception:
         pass
     print(json.dumps({
@@ -116,6 +122,8 @@ def main():
         "s_per_step_b8": round(dt, 4),
         "vs_ref_train": round((B / dt) / 20.6, 2),
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+        "hbm_bw_vs_819GBs_peak": (round(hbm_frac, 4)
+                                  if hbm_frac is not None else None),
     }))
 
 

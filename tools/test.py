@@ -38,6 +38,11 @@ def parse_config():
              "anything touches the backend (multi-host pods).",
     )
     parser.add_argument(
+        "--point_axis", type=int, default=0,
+        help="shard the POINT axis over this many devices (SURVEY §5.7; "
+             "see tools/train.py --point_axis). 0 = off.",
+    )
+    parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
@@ -99,11 +104,23 @@ def main():
     # single-process multi-device: shard eval batches over the local mesh
     # (batch must divide evenly; ragged final batches are padded inside
     # eval_one_ckpt)
+    import contextlib
+
+    from tsm_det_pointcloud_tpu.parallel import point_sharding as point_axis
+
     n_local = len(jax.local_devices())
-    n_mesh = max(d for d in range(1, n_local + 1) if batch_size % d == 0)
-    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
-    if mesh is not None:
-        logger.info("Eval on a %d-device data mesh", n_mesh)
+    pax = args.point_axis or int(cfg.get("PARALLEL", {}).get(
+        "POINT_AXIS", 0) or 0)
+    if pax > 1:
+        n_data = max(d for d in range(1, n_local // pax + 1)
+                     if batch_size % d == 0)
+        mesh = point_axis.make_point_mesh(pax, n_data)
+        logger.info("Eval on a %dx%d (data x points) mesh", n_data, pax)
+    else:
+        n_mesh = max(d for d in range(1, n_local + 1) if batch_size % d == 0)
+        mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+        if mesh is not None:
+            logger.info("Eval on a %d-device data mesh", n_mesh)
 
     metrics_writer = MetricsWriter(eval_dir)
 
@@ -121,11 +138,14 @@ def main():
             logger.info("Loaded checkpoint %s", ckpt)
         else:
             logger.warning("No checkpoint found/given - evaluating random init")
-        return eval_one_ckpt(
-            model, variables, test_loader, test_set, cfg, logger, eval_dir,
-            save_to_file=args.save_to_file, mesh=mesh,
-            metrics_writer=metrics_writer, epoch_id=epoch_id,
-        )
+        pax_ctx = (point_axis.activate(mesh, "points") if pax > 1
+                   else contextlib.nullcontext())
+        with pax_ctx:
+            return eval_one_ckpt(
+                model, variables, test_loader, test_set, cfg, logger,
+                eval_dir, save_to_file=args.save_to_file, mesh=mesh,
+                metrics_writer=metrics_writer, epoch_id=epoch_id,
+            )
 
     if not args.eval_all:
         load_and_eval(args.ckpt or latest_checkpoint(output_dir / "ckpt"))

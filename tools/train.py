@@ -54,6 +54,14 @@ def parse_config():
              "0 disables, e.g. when no val data is on disk)",
     )
     parser.add_argument(
+        "--point_axis", type=int, default=0,
+        help="shard the POINT axis of each scene over this many devices "
+             "(SURVEY §5.7): layer-0 FPS/grouping run segment-local via "
+             "parallel/point_sharding; remaining devices form the data "
+             "axis. Also settable as PARALLEL.POINT_AXIS in the cfg. "
+             "0 = off.",
+    )
+    parser.add_argument(
         "--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER
     )
     args = parser.parse_args()
@@ -188,12 +196,30 @@ def main():
     # XLA all-reduces grads over ICI. BatchNorm means are computed over the
     # global (sharded) batch under jit, so SyncBatchNorm semantics
     # (reference --sync_bn, train.py:129-130) hold by construction.
+    import contextlib
+
+    from tsm_det_pointcloud_tpu.parallel import point_sharding as point_axis
+
     n_local = len(jax.local_devices())
-    n_mesh = max(d for d in range(1, n_local + 1) if batch_size % d == 0)
-    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
-    if mesh is not None:
+    pax = args.point_axis or int(cfg.get("PARALLEL", {}).get(
+        "POINT_AXIS", 0) or 0)
+    pax_ctx = contextlib.nullcontext()
+    if pax > 1:
+        # combined ("data", "points") mesh: scenes shard over `points`
+        # (layer-0 FPS/grouping run segment-local, SURVEY §5.7), batch
+        # over `data`
+        n_data = max(d for d in range(1, n_local // pax + 1)
+                     if batch_size % d == 0)
+        mesh = point_axis.make_point_mesh(pax, n_data)
         state = replicate_state(state, mesh)
-        logger.info("Training on a %d-device data mesh", n_mesh)
+        pax_ctx = point_axis.activate(mesh, "points")
+        logger.info("Training on a %dx%d (data x points) mesh", n_data, pax)
+    else:
+        n_mesh = max(d for d in range(1, n_local + 1) if batch_size % d == 0)
+        mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+        if mesh is not None:
+            state = replicate_state(state, mesh)
+            logger.info("Training on a %d-device data mesh", n_mesh)
 
     metrics_writer = MetricsWriter(output_dir)
 
@@ -201,13 +227,11 @@ def main():
         "*************** Start training %s/%s(%s) ***************",
         cfg.EXP_GROUP_PATH, cfg.TAG, args.extra_tag,
     )
-    import contextlib
-
     prof = (
         jax.profiler.trace(args.profile_dir)
         if args.profile_dir else contextlib.nullcontext()
     )
-    with prof:
+    with prof, pax_ctx:
         train_model(
             model, state, train_loader, tx, ckpt_dir, total_epochs=epochs,
             logger=logger, start_epoch=start_epoch,

@@ -34,6 +34,7 @@ import numpy as np
 
 from ...ops import group_pallas, grouping, sampling, spconv as sp_ops, topk
 from ...ops.voxel import voxel_centroids, voxel_query
+from ...parallel import point_sharding as point_axis
 from .pointnet2_modules import SharedMLP, safe_bn_mask
 from .spconv_backbone import (
     SparseConv,
@@ -144,9 +145,26 @@ class VoxelSAModule(nn.Module):
         ):
             sub_xyz = xyz[:, lo:hi]
             sub_valid = valid[:, lo:hi]
+            psh = point_axis.active() if self.sa_layer_idx == 0 else None
+            if psh is not None and method not in ("d-fps", "D-FPS"):
+                raise NotImplementedError(
+                    f"point-axis sharding supports d-fps at layer 0, got "
+                    f"{method} (SURVEY §5.7: layer-0 is the sharded scale; "
+                    f"later layers run replicated on the sampled set)")
             if method in ("d-fps", "D-FPS"):
                 if self.sa_layer_idx == 0:
-                    idx = sampling.furthest_point_sample(sub_xyz, npoint, sub_valid)
+                    if psh is not None:
+                        if lo != 0 or hi < xyz.shape[1]:
+                            raise NotImplementedError(
+                                "point-axis sharding needs a full-range "
+                                "layer-0 SAMPLE_RANGE (a sub-slice of the "
+                                "sharded axis would regather the cloud)")
+                        idx = point_axis.segment_local_fps(
+                            sub_xyz, npoint, psh.mesh, sub_valid,
+                            axis=psh.axis)
+                    else:
+                        idx = sampling.furthest_point_sample(
+                            sub_xyz, npoint, sub_valid)
                 else:
                     # layers >0 reuse the previous ordering: take-first-N
                     # (reference behavior, pointnet2_modules.py:1161-1165)
@@ -198,11 +216,23 @@ class VoxelSAModule(nn.Module):
                 scores_point = jnp.where(slot_ok, gathered, -1e9)
 
         # ---- sampling ----
+        psh = point_axis.active() if self.sa_layer_idx == 0 else None
         new_valid = None
         if new_xyz is None:
             idx_s = self._sample(xyz, features, scores_point, valid)
-            new_xyz = sampling.gather_points(xyz, idx_s)
-            new_valid = jnp.take_along_axis(valid, idx_s, axis=1)
+            if psh is not None:
+                # xyz is sharded on the point axis; fetch the sampled rows
+                # as a REPLICATED set (owner-masked psum — everything after
+                # layer-0 grouping runs replicated on these npoint rows)
+                payload = jnp.concatenate(
+                    [xyz, valid[..., None].astype(xyz.dtype)], -1)
+                got = point_axis.gather_from_sharded(
+                    payload, idx_s, psh.mesh, axis=psh.axis)
+                new_xyz = got[..., :3]
+                new_valid = got[..., 3] > 0.5
+            else:
+                new_xyz = sampling.gather_points(xyz, idx_s)
+                new_valid = jnp.take_along_axis(valid, idx_s, axis=1)
         else:
             new_valid = jnp.ones(new_xyz.shape[:2], bool)
 
@@ -214,23 +244,56 @@ class VoxelSAModule(nn.Module):
             for i, r in enumerate(self.radii):
                 lo = self.radii[i - 1] if (self.dilated_group and i > 0) else 0.0
                 pairs.append((float(lo), float(r)))
-            use_fused = group_pallas.enabled()
-            if use_fused:
-                # fused Pallas query+group: one Morton-sorted payload AND
-                # one sorted query set shared by all scales; outputs stay
-                # in the kernel's blocked layout through the MLP+pool and
-                # only the pooled (B, Q, C) is unsorted (group_pallas.py)
-                prep = group_pallas.prepare_sources(xyz, features, valid)
-                qs = group_pallas.sort_queries_shared(new_xyz, new_valid)
+            if psh is not None:
+                # point-axis-sharded sources: per-shard nearest-k + global
+                # (d2, idx)-lex merge; the raw cloud never gathers to one
+                # device (parallel/point_sharding.sharded_ball_group_multi)
+                groups = point_axis.sharded_ball_group_multi(
+                    tuple(pairs),
+                    tuple(int(n) for n in self.nsamples),
+                    xyz, features, valid, new_xyz, psh.mesh, axis=psh.axis)
+                for i, ((lo, r), ns, mlp) in enumerate(
+                    zip(pairs, self.nsamples, self.mlps)
+                ):
+                    ns = int(ns)
+                    g_xyz_abs, g_feat, cnt = groups[i]
+                    slot_ok = (
+                        (jnp.arange(ns)[None, None, :] < cnt[:, :, None])
+                        & new_valid[:, :, None]
+                    )
+                    g_xyz = g_xyz_abs - new_xyz[:, :, None, :]
+                    parts = [jnp.where(slot_ok[..., None], g_xyz, 0.0)]
+                    if features is not None:
+                        parts.append(
+                            jnp.where(slot_ok[..., None], g_feat, 0.0))
+                    grouped = jnp.concatenate(parts, -1)
+                    h = SharedMLP(mlp, name=f"point_mlp{i}")(
+                        grouped, training, mask=slot_ok[..., None]
+                    )
+                    h = jnp.where(slot_ok[..., None], h, -1e9).max(axis=2)
+                    h = jnp.where(
+                        new_valid[..., None] & (cnt[..., None] > 0), h, 0.0
+                    )
+                    outs.append(h)
+                scales = ()  # sharded path handled all scales above
             else:
-                # XLA fallback: all scales share one (M, N) distance grid
-                queries = grouping.ball_query_multi(
-                    tuple(pairs), tuple(int(n) for n in self.nsamples),
-                    xyz, new_xyz, valid,
-                )
-            for i, ((lo, r), ns, mlp) in enumerate(
-                zip(pairs, self.nsamples, self.mlps)
-            ):
+                use_fused = group_pallas.enabled()
+                scales = tuple(zip(pairs, self.nsamples, self.mlps))
+                if use_fused:
+                    # fused Pallas query+group: one Morton-sorted payload
+                    # AND one sorted query set shared by all scales;
+                    # outputs stay in the kernel's blocked layout through
+                    # the MLP+pool and only the pooled (B, Q, C) is
+                    # unsorted (group_pallas.py)
+                    prep = group_pallas.prepare_sources(xyz, features, valid)
+                    qs = group_pallas.sort_queries_shared(new_xyz, new_valid)
+                else:
+                    # XLA fallback: all scales share one (M, N) dist grid
+                    queries = grouping.ball_query_multi(
+                        tuple(pairs), tuple(int(n) for n in self.nsamples),
+                        xyz, new_xyz, valid,
+                    )
+            for i, ((lo, r), ns, mlp) in enumerate(scales):
                 ns = int(ns)
                 if use_fused:
                     gb, _, cnt = group_pallas.fused_query_group_blocked(
@@ -644,12 +707,27 @@ class VoxelPointNet2FSMSGDistillation(_VoxelFSBase):
 
     @nn.compact
     def __call__(self, batch_dict, training=False):
+        import contextlib
+        import os
+
         n_teacher = None if training else len(
             self.model_cfg["SA_CONFIG"]["NPOINT_LIST"]
         ) - 1
-        t_outs, unet_plan = self._run_layers(
-            "SA_CONFIG", batch_dict, training, n_layers=n_teacher
+        # r5 (VERDICT r4 #3ii): the frozen teacher needs no f32 — under
+        # TSM_TEACHER_BF16=1 its whole branch (MLPs, convs, grouping
+        # payloads) computes in bf16 during TRAINING; loss targets are
+        # f32-cast by the head. Eval keeps f32 (it runs the truncated
+        # teacher on the deployed path). Flag-gated: changes training
+        # numerics (documented delta), default off.
+        t_ctx = (
+            sp_ops.force_compute_dtype(jnp.bfloat16)
+            if training and os.environ.get("TSM_TEACHER_BF16", "") == "1"
+            else contextlib.nullcontext()
         )
+        with t_ctx:
+            t_outs, unet_plan = self._run_layers(
+                "SA_CONFIG", batch_dict, training, n_layers=n_teacher
+            )
         # stop_gradient on array leaves only — SparseTensor.grid/stride are
         # static python ints that must NOT become tracers (subm_conv3d needs
         # them concrete for sentinel/shape computation)

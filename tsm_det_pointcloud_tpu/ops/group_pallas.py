@@ -64,6 +64,25 @@ SROW_OC = 4  # output channel of the (virtual) sorted-row id
 # 4-6 full-width reduces per slot chunk). Kill switch for A/B testing.
 MXU_GATHER = not bool(__import__("os").environ.get("TSM_NO_MXU_GATHER"))
 
+# Two query blocks per program (_kernel_pair). r5 on-chip A/B at
+# production shapes (subprocess-isolated tune_kernels, 2026-08-21):
+#   vsa (4096 src, 512 q, C=64/pf): 26.3 -> 12.4 ms  (2.1x WIN — halving
+#       the program count halves the dominant per-program source fetch)
+#   sa0 (16k src, 4096 q, small-C): 9.29 -> 9.96 ms  (-7%)
+#   wy0 (122k src, 16k q, small-C): 55.4 -> 415.7 ms (7.5x PATHOLOGICAL)
+# Default: pair ONLY the large-C (pf) path, where the win lives and the
+# wy0 pathology can't occur. TSM_GROUP_PAIR=1 forces on everywhere,
+# =0 forces off everywhere (A/B probes).
+_PAIR_ENV = __import__("os").environ.get("TSM_GROUP_PAIR", "")
+
+
+def _pair_default(has_pf):
+    if _PAIR_ENV == "1":
+        return True
+    if _PAIR_ENV == "0":
+        return False
+    return bool(has_pf)
+
 
 def morton_code(xyz, origin, cell=1.0, bits=10):
     """(..., 3) f32 -> int32 Morton codes on a `cell`-metre grid. Spatially
@@ -248,6 +267,164 @@ def _kernel(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
     )
 
 
+def _kernel_pair(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
+                 max_r2, min_r2, qr, use_window, qb, sb, kc, gather_chs,
+                 need_srow, mxu_gather):
+    """TWO query blocks per program (r5, VERDICT r4 #2/#4): the per-visit
+    scalar-unit chain (SMEM visit-index read -> dynamic source slice,
+    `lprior`/`mslot` SREG syncs) of two ADJACENT query blocks runs in one
+    instruction stream so the latencies overlap — the same mechanism that
+    won the 2-row FPS kernel 1.73x. Adjacent Morton query blocks have
+    correlated visit lists, so the merged while loop's trip count is
+    ~max(na, nb) ~ avg, not the sum. Both rows' distance/count phases are
+    one branch-free basic block (a finished row visits its clamped last
+    block with `hit` forced false — an exact no-op since every update is
+    an accumulate); only the saturation-gated gather regions stay
+    per-row conditional. Per-row op order matches _kernel, so outputs are
+    bitwise-identical to the single-row kernel (tested)."""
+    if len(refs) == 4:
+        pf_ref, outf_ref, outi_ref, cnt_ref = refs
+        outf_ref[0, 0] = jnp.zeros_like(outf_ref[0, 0])
+        outf_ref[0, 1] = jnp.zeros_like(outf_ref[0, 1])
+    else:
+        pf_ref = outf_ref = None
+        outi_ref, cnt_ref = refs
+    outi_ref[0, 0] = jnp.zeros_like(outi_ref[0, 0])
+    outi_ref[0, 1] = jnp.zeros_like(outi_ref[0, 1])
+    cnt_ref[0, 0] = jnp.zeros_like(cnt_ref[0, 0])
+    cnt_ref[0, 1] = jnp.zeros_like(cnt_ref[0, 1])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, sb), 1)
+    qv = [q_ref[0, pl.ds(r * qb, qb), 6:7] > 0.0 for r in (0, 1)]
+    nv = [vcnt_ref[0, 0, 0, 0], vcnt_ref[0, 1, 0, 0]]
+
+    def compute(r, t):
+        """Distance + count phase for row r's visit t (no-op when t is
+        past the row's list). Returns what the gather phase needs."""
+        live = t < nv[r]
+        tc = jnp.maximum(jnp.minimum(t, nv[r] - 1), 0)
+        j = vidx_ref[0, r, 0, tc]
+        st = pl.multiple_of(j * sb, sb)
+        d2 = jnp.zeros((qb, sb), jnp.float32)
+        for a in range(3):
+            sa = pi_ref[0, a:a + 1, pl.ds(st, sb)].astype(jnp.float32)
+            qa = q_ref[0, pl.ds(r * qb, qb), a:a + 1]
+            d = qa - sa
+            d2 = d2 + d * d
+        hit = d2 < max_r2
+        if min_r2 > 0.0:
+            hit &= d2 >= min_r2
+        if use_window:
+            for a in range(3):
+                sc = pi_ref[0, 3 + a:4 + a,
+                            pl.ds(st, sb)].astype(jnp.float32)
+                qc = q_ref[0, pl.ds(r * qb, qb), 3 + a:4 + a]
+                hit &= jnp.abs(qc - sc) <= qr[a]
+        hit &= qv[r] & live
+
+        hiti = hit.astype(jnp.int32)
+        prior = cnt_ref[0, r]
+        rowcnt = jnp.sum(hiti, axis=1, keepdims=True)
+        cnt_ref[0, r] = prior + rowcnt
+        lprior = jnp.min(jnp.where(rowcnt > 0, prior, np.int32(2 ** 30)))
+        return hit, hiti, prior, lprior, st
+
+    def gather(r, hit, hiti, prior, lprior, st):
+        @pl.when(lprior < ns)
+        def _gather_visit():
+            c = hiti
+            sh = 1
+            while sh < sb:
+                c = c + jnp.where(lane >= sh, pltpu.roll(c, sh, axis=1), 0)
+                sh *= 2
+            slot = prior + c - 1
+            mslot = jnp.max(jnp.where(hit, slot, -1))
+
+            fwin = (None if pf_ref is None
+                    else pf_ref[0, pl.ds(st, sb), :])
+            digT = None
+            if mxu_gather:
+                chans = [pi_ref[0, ch:ch + 1, pl.ds(st, sb)]
+                         for _, ch in gather_chs]
+                if need_srow:
+                    chans.append(st + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, sb), 1))
+                iw = jnp.concatenate(chans, 0)
+                digs = []
+                for k in range(4):
+                    digs.append(jax.lax.shift_right_logical(
+                        iw, np.int32(8 * k)) & 255)
+                dig = jnp.concatenate(digs, 0).astype(jnp.bfloat16)
+                digT = dig.T
+            for kci in range(ns // kc):
+                @pl.when((mslot >= kci * kc) & (lprior < (kci + 1) * kc))
+                def _(kci=kci):
+                    sl_t = jnp.concatenate([slot] * kc, 0)
+                    hit_t = jnp.concatenate([hit] * kc, 0)
+                    jrow = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (kc * qb, sb), 0
+                        ) // qb + kci * kc
+                    )
+                    oh = (sl_t == jrow) & hit_t
+                    rows = pl.ds(kci * kc * qb, kc * qb)
+                    ohf = None
+                    if fwin is not None or mxu_gather:
+                        ohf = oh.astype(jnp.bfloat16)
+                    if fwin is not None:
+                        add = jnp.dot(ohf, fwin,
+                                      preferred_element_type=jnp.float32)
+                        outf_ref[0, r, rows, :] += add
+                    if mxu_gather:
+                        nch = len(gather_chs) + (1 if need_srow else 0)
+                        rr = jnp.dot(ohf, digT,
+                                     preferred_element_type=jnp.float32)
+                        ri = rr.astype(jnp.int32)
+                        val = ri[:, 0:nch]
+                        for k in range(1, 4):
+                            val = val + (ri[:, k * nch:(k + 1) * nch]
+                                         << np.int32(8 * k))
+                        ocs = [oc for oc, _ in gather_chs]
+                        if need_srow:
+                            ocs.append(SROW_OC)
+                        no8 = outi_ref.shape[-1]
+                        cols = []
+                        for oc in range(no8):
+                            if oc in ocs:
+                                cx = ocs.index(oc)
+                                cols.append(val[:, cx:cx + 1])
+                            else:
+                                cols.append(
+                                    jnp.zeros((kc * qb, 1), jnp.int32))
+                        outi_ref[0, r, rows, :] += jnp.concatenate(cols, 1)
+                    else:
+                        ohi = oh.astype(jnp.int32)
+                        for oc, ch in gather_chs:
+                            v = pi_ref[0, ch:ch + 1, pl.ds(st, sb)]
+                            outi_ref[0, r, rows, oc:oc + 1] += jnp.sum(
+                                ohi * v, axis=1, keepdims=True
+                            )
+                        if need_srow:
+                            vs = st + jax.lax.broadcasted_iota(
+                                jnp.int32, (1, sb), 1)
+                            outi_ref[0, r, rows,
+                                     SROW_OC:SROW_OC + 1] += jnp.sum(
+                                ohi * vs, axis=1, keepdims=True
+                            )
+
+    def body(st_):
+        ta, tb = st_
+        sa = compute(0, ta)
+        sb_ = compute(1, tb)
+        gather(0, *sa)
+        gather(1, *sb_)
+        return ta + 1, tb + 1
+
+    jax.lax.while_loop(
+        lambda st_: (st_[0] < nv[0]) | (st_[1] < nv[1]), body, (0, 0)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
@@ -309,29 +486,42 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     vcnt = jnp.sum(near, -1).astype(jnp.int32)[..., None, None]
     vidx = jnp.argsort(~near, axis=-1).astype(jnp.int32)[:, :, None, :]
 
+    # paired-query-block mode (r5): two adjacent query blocks share one
+    # program so their per-visit scalar chains overlap (_kernel_pair).
+    # Pad nq to even with an all-invalid block (its visit list is empty).
+    pair = _pair_default(pf is not None)
+    nq_pad = (nq % 2) if pair else 0
+    if nq_pad:
+        q = jnp.pad(q, ((0, 0), (0, QB * nq_pad), (0, 0)))
+        vcnt = jnp.pad(vcnt, ((0, 0), (0, nq_pad), (0, 0), (0, 0)))
+        vidx = jnp.pad(vidx, ((0, 0), (0, nq_pad), (0, 0), (0, 0)))
+    nqp = nq + nq_pad
+    gb = 2 if pair else 1
+    grid = (B, nqp // gb)
+
     # SMEM visit lists are blocked per (b, i) — a singleton dim satisfies
     # the last-two-dims block rule while keeping per-block SMEM tiny
     # (a full (B, nq, n_sb) SMEM array overflows the 1 MB space at Waymo
     # scale).
     in_specs = [
-        pl.BlockSpec((1, 1, 1, 1), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, gb, 1, 1), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, n_sb), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, gb, 1, n_sb), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, QB, 8), lambda b, i: (b, i, 0),
+        pl.BlockSpec((1, gb * QB, 8), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n_int, Np), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, ns * QB, no8), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, gb, ns * QB, no8), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, QB, 1), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, gb, QB, 1), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, nq, ns * QB, no8), jnp.int32),
-        jax.ShapeDtypeStruct((B, nq, QB, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, nqp, ns * QB, no8), jnp.int32),
+        jax.ShapeDtypeStruct((B, nqp, QB, 1), jnp.int32),
     ]
     args = [vcnt, vidx, q, pi]
     if pf is not None:
@@ -341,27 +531,30 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
                          memory_space=pltpu.VMEM)
         )
         out_specs.insert(
-            0, pl.BlockSpec((1, 1, ns * QB, C), lambda b, i: (b, i, 0, 0),
+            0, pl.BlockSpec((1, gb, ns * QB, C), lambda b, i: (b, i, 0, 0),
                             memory_space=pltpu.VMEM)
         )
         out_shape.insert(
-            0, jax.ShapeDtypeStruct((B, nq, ns * QB, C), jnp.float32)
+            0, jax.ShapeDtypeStruct((B, nqp, ns * QB, C), jnp.float32)
         )
         args.append(pf.astype(jnp.bfloat16))
 
     res = pl.pallas_call(
         functools.partial(
-            _kernel, ns=ns, n_sb=n_sb, max_r2=max_r2, min_r2=min_r2,
+            _kernel_pair if pair else _kernel, ns=ns, n_sb=n_sb,
+            max_r2=max_r2, min_r2=min_r2,
             qr=qr, use_window=use_window, qb=QB, sb=sb, kc=kc,
             gather_chs=gather_chs, need_srow=need_srow,
             mxu_gather=MXU_GATHER,
         ),
-        grid=(B, nq),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if nq_pad:
+        res = [a[:, :nq] for a in res]
 
     # rows are j-major within a block: (nq, ns, QB, .) -> (B, Q, ns, .).
     # blocked=True keeps the kernel's native (B, nq, ns, QB, .) layout —
@@ -400,13 +593,37 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     origin = jnp.min(xyz, axis=1, keepdims=True)
     code = morton_code(xyz, origin, cell=cell)
     code = jnp.where(src_valid, code, np.int32(2**31 - 1))
-    order = jnp.argsort(code, axis=1)
+
+    # Morton sort: ONE variadic lax.sort carries xyz (+coords +small-C
+    # feats) + the original row index through the sort network when the
+    # channel count is small — the previous argsort + per-array
+    # take_along_axis lowered to serialized row gathers (part of the
+    # module_list_0 copy tail, SURVEY §8d). Stable sort == stable argsort
+    # order, so outputs are bitwise-identical. Large-C features keep the
+    # gather (carrying 64+ operands through a sort network loses).
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    nf_small = (0 if src_feat is None
+                else (src_feat.shape[-1] if src_feat.shape[-1] <= 8 else 0))
+    ops = [code, xyz[..., 0], xyz[..., 1], xyz[..., 2], iota]
+    if src_coords is not None:
+        ops += [src_coords[..., a].astype(jnp.int32) for a in range(3)]
+    if nf_small:
+        ops += [src_feat[..., a].astype(jnp.float32)
+                for a in range(nf_small)]
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+    sxyz = jnp.stack(sorted_ops[1:4], -1)                 # invalid -> 1e30
+    order = sorted_ops[4]
+    pos = 5
+    s_coords_sorted = None
+    if src_coords is not None:
+        s_coords_sorted = jnp.stack(sorted_ops[pos:pos + 3], -1)
+        pos += 3
+    s_feat_sorted = (jnp.stack(sorted_ops[pos:pos + nf_small], -1)
+                     if nf_small else None)
 
     def take(x, o):
         return jnp.take_along_axis(x, o.reshape(B, N, *([1] * (x.ndim - 2))),
                                    axis=1)
-
-    sxyz = take(xyz, order)                               # invalid -> 1e30
     n_feat0 = 0 if src_feat is None else src_feat.shape[-1]
     sb_env = int(__import__("os").environ.get("TSM_GROUP_SB", "0"))
     # r4 model-level A/B: 384-wide source blocks win at <=16k sources
@@ -427,7 +644,7 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     # would double the resident VMEM at Waymo scale.
     xyz_fp = jnp.round(jnp.clip(sxyz, -2e6, 2e6) * FP).astype(jnp.int32)
     if src_coords is not None:
-        scoords = take(src_coords.astype(jnp.int32), order)
+        scoords = s_coords_sorted
         if pad_n:
             scoords = jnp.pad(scoords, ((0, 0), (0, pad_n), (0, 0)),
                               constant_values=2**20)
@@ -440,7 +657,8 @@ def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
     n_feat = 0 if src_feat is None else src_feat.shape[-1]
     pf = None
     if n_feat:
-        sfeat = take(src_feat.astype(jnp.float32), order)
+        sfeat = (s_feat_sorted if s_feat_sorted is not None
+                 else take(src_feat.astype(jnp.float32), order))
         if pad_n:
             sfeat = jnp.pad(sfeat, ((0, 0), (0, pad_n), (0, 0)))
         if n_feat <= 3:

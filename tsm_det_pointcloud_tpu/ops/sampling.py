@@ -57,10 +57,14 @@ def furthest_point_sample(xyz, npoint, valid_mask=None):
             # Morton-block-pruned kernel is exact and ~4.5x faster there
             from .fps_pallas import furthest_point_sample_block_pruned
 
-            # two rows per program: overlapped SREG syncs measured 1.73x
-            # on the Waymo bench shape (195.1 -> 112.6 ms, r4)
+            # rows per program: overlapped SREG syncs measured 1.73x at
+            # 2 rows on the Waymo bench shape (195.1 -> 112.6 ms, r4);
+            # TSM_FPS_ROWS probes 4 rows (r5 candidate, VMEM ~12 MB)
+            import os
+
+            rows = int(os.environ.get("TSM_FPS_ROWS", "2"))
             return furthest_point_sample_block_pruned(
-                xyz, npoint, valid_mask, two_rows=True
+                xyz, npoint, valid_mask, rows=rows
             )
         from .fps_pallas import furthest_point_sample_pallas
 

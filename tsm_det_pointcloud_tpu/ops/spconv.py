@@ -84,12 +84,39 @@ def kernel_offsets(kernel_size):
 DENSE_TABLE_MAX_CELLS = 16_000_000
 
 
+# Trace-time compute-dtype override stack (r5): the distillation
+# backbone wraps its FROZEN teacher branch in force_compute_dtype(bf16)
+# under TSM_TEACHER_BF16=1 — the teacher needs no f32 (it gets no
+# gradients; its outputs are loss targets), and bf16 halves its gather
+# bytes / doubles its MXU rate in the training step.
+_DTYPE_OVERRIDE = []
+
+
+class force_compute_dtype:
+    """Context manager: modules constructed inside use this compute
+    dtype (read at flax trace time through compute_dtype())."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def __enter__(self):
+        _DTYPE_OVERRIDE.append(self.dtype)
+        return self
+
+    def __exit__(self, *exc):
+        _DTYPE_OVERRIDE.pop()
+        return False
+
+
 def compute_dtype():
     """Gather/GEMM compute dtype for sparse convs. bf16 halves the gather
     bytes and doubles MXU rate; accumulation stays f32
-    (preferred_element_type). Opt-in via TSM_COMPUTE_DTYPE=bfloat16."""
+    (preferred_element_type). Opt-in via TSM_COMPUTE_DTYPE=bfloat16, or
+    scoped via force_compute_dtype (teacher-branch bf16)."""
     import os
 
+    if _DTYPE_OVERRIDE:
+        return _DTYPE_OVERRIDE[-1]
     return (
         jnp.bfloat16
         if os.environ.get("TSM_COMPUTE_DTYPE", "") == "bfloat16"

@@ -47,20 +47,27 @@ def make_mesh(n_devices=None, axis="data"):
 def shard_batch(batch, mesh, axis="data"):
     """Place host batch on the mesh, sharded along the leading (batch) dim.
     Arrays whose leading dim isn't the batch size (dataset constants) are
-    replicated; non-array entries (batch_size, metadata) pass through."""
+    replicated; non-array entries (batch_size, metadata) pass through.
+    When the mesh also has a `points` axis (tools/train.py --point_axis),
+    per-point arrays additionally shard along it (SURVEY §5.7)."""
     sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    has_points = "points" in mesh.axis_names and axis != "points"
+    pt_sharding = (NamedSharding(mesh, P(axis, "points"))
+                   if has_points else sharding)
     bsz = int(batch.get("batch_size", 0))
 
-    def put(x):
+    def put(x, key):
         if (isinstance(x, (np.ndarray, jnp.ndarray))
                 and getattr(x, "ndim", 0) > 0 and x.dtype != object):
             if bsz and x.shape[0] != bsz:
                 return jax.device_put(x, repl)
+            if key in ("points", "points_mask") and x.ndim >= 2:
+                return jax.device_put(x, pt_sharding)
             return jax.device_put(x, sharding)
         return x
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(v, k) for k, v in batch.items()}
 
 
 def student_mask(params):
