@@ -77,11 +77,15 @@ _PAIR_ENV = __import__("os").environ.get("TSM_GROUP_PAIR", "")
 
 
 def _pair_default(has_pf):
-    if _PAIR_ENV == "1":
-        return True
-    if _PAIR_ENV == "0":
-        return False
-    return bool(has_pf)
+    # r5 outcome: OPT-IN ONLY. The pf-path auto-default was tried and
+    # reverted — the pair program's doubled resident output block puts
+    # the s_sa1 (C=64, ns=32) compile 132 KB over the 16 MB scoped-VMEM
+    # stack inside BOTH train and full-eval graphs (measured 2026-08-21;
+    # kc-halving didn't move the peak), while the same kernel compiles
+    # fine standalone — the bykey TIGHT_VMEM compile-context class. The
+    # standalone vsa win (26.3 -> 12.4 ms) is therefore unreachable
+    # in-graph; keep the kernel + env for future Mosaic headroom.
+    return _PAIR_ENV == "1"
 
 
 def morton_code(xyz, origin, cell=1.0, bits=10):
@@ -490,6 +494,13 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     # program so their per-visit scalar chains overlap (_kernel_pair).
     # Pad nq to even with an all-invalid block (its visit list is empty).
     pair = _pair_default(pf is not None)
+    if pair and ns % 2 == 0:
+        # halve the slot-chunk transient ((kc*qb, sb) one-hot + f32
+        # accumulator) — the pair kernel's doubled outputs already raise
+        # the program's footprint, and the train-graph sa1 compile sat
+        # 132 KB over the 16 MB scoped-VMEM stack at kc=4. Chunking only
+        # partitions slots; values are bitwise-unchanged.
+        kc = math.gcd(ns, max(2, kc // 2))
     nq_pad = (nq % 2) if pair else 0
     if nq_pad:
         q = jnp.pad(q, ((0, 0), (0, QB * nq_pad), (0, 0)))
@@ -739,20 +750,21 @@ def fused_query_group(prepared, q_xyz, ns, max_radius, min_radius=0.0,
         origin = jnp.min(xyzm, axis=1, keepdims=True)
         qcode = jnp.where(v, morton_code(xyzm, origin),
                           np.int32(2**31 - 1))
-        qord = jnp.argsort(qcode, axis=1)
-
-        def takeq(x):
-            if x is None:
-                return None
-            return jnp.take_along_axis(
-                x, qord.reshape(B, Q, *([1] * (x.ndim - 2))), axis=1
-            )
-
-        q_xyz = takeq(q_xyz)
-        q_coords = takeq(q_coords)
-        q_valid = None if q_valid is None else jnp.take_along_axis(
-            q_valid, qord, axis=1
-        )
+        # one variadic sort carries xyz/coords/valid/row — argsort +
+        # per-array take_along_axis lowers to serialized row gathers
+        # (same fix as prepare_sources / sort_queries_shared, r5)
+        iota = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[None],
+                                (B, Q))
+        ops = [qcode, q_xyz[..., 0], q_xyz[..., 1], q_xyz[..., 2],
+               v.astype(jnp.int32), iota]
+        nc = 0 if q_coords is None else q_coords.shape[-1]
+        if nc:
+            ops += [q_coords[..., a] for a in range(nc)]
+        out = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+        q_xyz = jnp.stack(out[1:4], -1)
+        q_valid = out[4].astype(bool)
+        qord = out[5]
+        q_coords = jnp.stack(out[6:6 + nc], -1) if nc else None
     q, pad_q = _prepare_queries(q_xyz, q_valid, q_coords)
     grouped, idx, cnt = _fused_core(
         prepared["bb"], q, prepared["pi"], prepared["pf"],
