@@ -59,7 +59,7 @@ CLASS_MIX_HARD = (1, 1, 1, 1, 2, 2, 3, 3)
 
 def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
               init_statistics=None, tag="teacher", stat_mode="learned",
-              steps=None):
+              steps=None, eval_at=()):
     """One full training phase + held-out official-protocol eval.
 
     stacked_scenes: dict of stacked leaves (nb, B, ...) + template batch.
@@ -161,13 +161,86 @@ def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
         tbacc = {k: jnp.zeros((n,), jnp.float32) for k in tb_keys}
         return jax.lax.fori_loop(0, n, step, (p, os_, rest, acc, tbacc))
 
+    # ---- held-out eval through the deployed path + official protocol ----
+    @jax.jit
+    def infer(v, b):
+        out = model.apply(v, b, training=False)
+        pred, _ = model.apply(
+            v, out, method=lambda m, bd: m.post_processing(bd))
+        return pred
+
+    from tsm_det_pointcloud_tpu.eval.kitti_eval import get_official_eval_result
+
+    val_batch, val_gt = val_scenes
+    names = list(cfg.CLASS_NAMES)
+
+    def do_eval(p, r, boot=0):
+        B = template["batch_size"]
+        vB = val_batch["batch_size"]
+        gt_annos, dt_annos = [], []
+        for b0 in range(0, vB, B):
+            sl = {k: (v[b0:b0 + B] if hasattr(v, "ndim") else v)
+                  for k, v in val_batch.items()}
+            sl["batch_size"] = B
+            sl.pop("gt_boxes", None), sl.pop("gt_boxes_mask", None)
+            vp = infer({"params": p, **r}, sl)
+            vpb = np.asarray(vp["pred_boxes"])
+            vps = np.asarray(vp["pred_scores"])
+            vpl = np.asarray(vp["pred_labels"])
+            vcnt = np.asarray(vp["count"])
+            for b in range(min(B, vB - b0)):
+                g = val_gt[b0 + b]
+                gm = g[:, 3] > 0  # zero-padded rows have zero size
+                gt_annos.append(cam_anno(
+                    lidar_boxes_to_cam(g[gm, :7]),
+                    [CLASS_NAMES[int(c)] for c in g[gm, 7]]))
+                k = int(vcnt[b])
+                dt_annos.append(cam_anno(
+                    lidar_boxes_to_cam(vpb[b, :k]) if k else np.zeros((0, 7)),
+                    [names[int(l) - 1] for l in vpl[b, :k]],
+                    scores=vps[b, :k]))
+        _, ret = get_official_eval_result(gt_annos, dt_annos, names)
+        out = {
+            "val_car_3d_mod_R40": round(float(ret["Car_3d/moderate_R40"]), 2),
+            "val_car_bev_mod_R40": round(float(ret["Car_bev/moderate_R40"]), 2),
+        }
+        for cls in ("Pedestrian", "Cyclist"):
+            key = f"{cls}_3d/moderate_R40"
+            if key in ret:
+                out[f"val_{cls.lower()[:3]}_3d_mod_R40"] = round(
+                    float(ret[key]), 2)
+        # per-class variance (VERDICT r4 #1): bootstrap over val scenes —
+        # without this, small-val per-class AP deltas were unjudgeable
+        if boot:
+            brng = np.random.default_rng(123)
+            samples = {c: [] for c in names}
+            for _ in range(boot):
+                idx = brng.integers(0, len(gt_annos), len(gt_annos))
+                _, rr = get_official_eval_result(
+                    [gt_annos[i] for i in idx], [dt_annos[i] for i in idx],
+                    names)
+                for c in names:
+                    key = f"{c}_3d/moderate_R40"
+                    if key in rr:
+                        samples[c].append(float(rr[key]))
+            out["val_boot_std"] = {
+                c: round(float(np.std(v)), 2)
+                for c, v in samples.items() if v}
+        return out
+
     chunk = min(100, steps)
     series = {"loss": [], "stat_mag": [], "max_abs_logit": []}
+    evals_at = {}
+    eval_pending = sorted(int(e) for e in eval_at if int(e) < steps)
     it, t0 = 0, time.time()
     while it < steps:
         params, opt_state, rest, ls, tbl = run_chunk(
             params, opt_state, rest, jnp.int32(it), chunk)
         it += chunk
+        while eval_pending and it >= eval_pending[0]:
+            e = eval_pending.pop(0)
+            evals_at[str(it)] = ev = do_eval(params, rest)
+            print(f"[{tag}] eval@{it}: {json.dumps(ev)}", flush=True)
         ls = np.asarray(ls)
         stat_mag = float(max(
             (float(np.abs(np.asarray(v)).max()) for v in
@@ -183,72 +256,15 @@ def run_phase(cfg, meta, args, stacked_scenes, val_scenes, init_params=None,
         print(f"[{tag}] step {it}: loss {ls[-1]:.3f} stat_mag "
               f"{stat_mag:.2f} max|logit| {mlogit:.1f} {comps}", flush=True)
 
-    # ---- held-out eval through the deployed path + official protocol ----
-    @jax.jit
-    def infer(v, b):
-        out = model.apply(v, b, training=False)
-        pred, _ = model.apply(
-            v, out, method=lambda m, bd: m.post_processing(bd))
-        return pred
-
-    from tsm_det_pointcloud_tpu.eval.kitti_eval import get_official_eval_result
-
-    val_batch, val_gt = val_scenes
-    B = template["batch_size"]
-    vB = val_batch["batch_size"]
-    names = list(cfg.CLASS_NAMES)
-    gt_annos, dt_annos = [], []
-    for b0 in range(0, vB, B):
-        sl = {k: (v[b0:b0 + B] if hasattr(v, "ndim") else v)
-              for k, v in val_batch.items()}
-        sl["batch_size"] = B
-        sl.pop("gt_boxes", None), sl.pop("gt_boxes_mask", None)
-        vp = infer({"params": params, **rest}, sl)
-        vpb = np.asarray(vp["pred_boxes"])
-        vps = np.asarray(vp["pred_scores"])
-        vpl = np.asarray(vp["pred_labels"])
-        vcnt = np.asarray(vp["count"])
-        for b in range(min(B, vB - b0)):
-            g = val_gt[b0 + b]
-            gm = g[:, 3] > 0  # zero-padded rows have zero size
-            gt_annos.append(cam_anno(
-                lidar_boxes_to_cam(g[gm, :7]),
-                [CLASS_NAMES[int(c)] for c in g[gm, 7]]))
-            k = int(vcnt[b])
-            dt_annos.append(cam_anno(
-                lidar_boxes_to_cam(vpb[b, :k]) if k else np.zeros((0, 7)),
-                [names[int(l) - 1] for l in vpl[b, :k]],
-                scores=vps[b, :k]))
-    _, ret = get_official_eval_result(gt_annos, dt_annos, names)
-
     res = {
         "series": series,
         "stat_mag_final": series["stat_mag"][-1],
         "loss_first": series["loss"][0], "loss_last": series["loss"][-1],
         "train_s": round(time.time() - t0, 1),
-        "val_car_3d_mod_R40": round(float(ret["Car_3d/moderate_R40"]), 2),
-        "val_car_bev_mod_R40": round(float(ret["Car_bev/moderate_R40"]), 2),
+        **do_eval(params, rest, boot=getattr(args, "boot", 0)),
     }
-    for cls in ("Pedestrian", "Cyclist"):
-        key = f"{cls}_3d/moderate_R40"
-        if key in ret:
-            res[f"val_{cls.lower()[:3]}_3d_mod_R40"] = round(float(ret[key]), 2)
-    # per-class variance estimate (VERDICT r4 #1): bootstrap over val
-    # scenes — without this, 60-scene per-class AP deltas were unjudgeable
-    if getattr(args, "boot", 0):
-        brng = np.random.default_rng(123)
-        samples = {c: [] for c in names}
-        for _ in range(args.boot):
-            idx = brng.integers(0, len(gt_annos), len(gt_annos))
-            _, r = get_official_eval_result(
-                [gt_annos[i] for i in idx], [dt_annos[i] for i in idx],
-                names)
-            for c in names:
-                key = f"{c}_3d/moderate_R40"
-                if key in r:
-                    samples[c].append(float(r[key]))
-        res["val_boot_std"] = {
-            c: round(float(np.std(v)), 2) for c, v in samples.items() if v}
+    if evals_at:
+        res["evals_at"] = evals_at
     return res, params, rest
 
 
@@ -284,6 +300,10 @@ def main():
     ap.add_argument("--boot", type=int, default=16,
                     help="bootstrap resamples for per-class AP variance "
                          "(0 = off)")
+    ap.add_argument("--eval_at", type=str, default="",
+                    help="comma list of student-phase step counts at which "
+                         "to run an intermediate held-out eval (one long "
+                         "run yields the 4k-vs-12k parity trend)")
     ap.add_argument("--out", type=str, default="artifacts/distill_proof.json")
     args = ap.parse_args()
     phases = set(args.phases.split(","))
@@ -386,10 +406,11 @@ def main():
 
     # ---- phase 2a: student with transferred statistics (deployed) ----
     cfg2 = load_cfg("fast_cpc.yaml")
+    eval_at = tuple(int(s) for s in args.eval_at.split(",") if s)
     res2, _, _ = run_phase(
         cfg2, meta, args, stacked_scenes, val_scenes,
         init_params=t_params, init_statistics=t_stats,
-        tag="student_stats", stat_mode="learned")
+        tag="student_stats", stat_mode="learned", eval_at=eval_at)
     artifact["student_stats"] = res2
     print(json.dumps({"phase": "student_stats", **{
         k: v for k, v in res2.items() if k != "series"}}), flush=True)

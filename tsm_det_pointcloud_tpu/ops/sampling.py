@@ -57,12 +57,16 @@ def furthest_point_sample(xyz, npoint, valid_mask=None):
             # Morton-block-pruned kernel is exact and ~4.5x faster there
             from .fps_pallas import furthest_point_sample_block_pruned
 
-            # rows per program: overlapped SREG syncs measured 1.73x at
-            # 2 rows on the Waymo bench shape (195.1 -> 112.6 ms, r4);
-            # TSM_FPS_ROWS probes 4 rows (r5 candidate, VMEM ~12 MB)
+            # rows per program: R batch rows share one instruction stream
+            # so the per-step SREG sync latencies (find scans + winner
+            # extraction) overlap. r4 measured 2 rows 1.73x (195.1 ->
+            # 112.6 ms); r5 measured 4 rows 3.65x on the kernel bench
+            # (122.9 -> 33.7 ms) and 21.84 -> 25.9 scans/s on the Waymo
+            # model bench — 4 is the default (VMEM ~12 MB at Waymo shape).
+            # TSM_FPS_ROWS overrides for A/B probes.
             import os
 
-            rows = int(os.environ.get("TSM_FPS_ROWS", "2"))
+            rows = int(os.environ.get("TSM_FPS_ROWS", "4"))
             return furthest_point_sample_block_pruned(
                 xyz, npoint, valid_mask, rows=rows
             )
