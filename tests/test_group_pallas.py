@@ -256,3 +256,38 @@ def test_pair_kernel_bitwise_vs_single(data, monkeypatch):
         np.testing.assert_array_equal(c1, c0)
         np.testing.assert_array_equal(i1, i0)
         np.testing.assert_array_equal(g1, g0)
+
+
+def test_split4d_bitwise_vs_5d(data, monkeypatch):
+    """TSM_GROUP_SPLIT4D (r5: slice payload channels on the kernel's 4-D
+    output, then split rows per channel) is bitwise-equal to the 5-D
+    reshape path on grouped/idx/cnt AND on the feature gradient (the
+    custom-VJP srow channel flows through both modes)."""
+    B, N, Q, C, sxyz, sfeat, svalid, qxyz, qvalid = data
+    feat = sfeat[..., :1]
+    qs = gp.sort_queries_shared(jnp.asarray(qxyz), jnp.asarray(qvalid))
+
+    def run(flag):
+        monkeypatch.setenv("TSM_GROUP_SPLIT4D", flag)
+        prep = gp.prepare_sources(jnp.asarray(sxyz), jnp.asarray(feat),
+                                  jnp.asarray(svalid))
+        return gp.fused_query_group_blocked(
+            prep, qs, 8, 2.4, 0.0, need_idx=True, interpret=True)
+
+    g0, i0, c0 = map(np.asarray, run(""))
+    g1, i1, c1 = map(np.asarray, run("1"))
+    np.testing.assert_array_equal(c1, c0)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_array_equal(g1, g0)
+
+    def loss(f, flag):
+        monkeypatch.setenv("TSM_GROUP_SPLIT4D", flag)
+        p = gp.prepare_sources(jnp.asarray(sxyz), f, jnp.asarray(svalid))
+        gb, _, cnt = gp.fused_query_group_blocked(
+            p, qs, 8, 2.4, 0.0, need_idx=True, interpret=True)
+        ok = (jnp.arange(8)[None, None, :, None] < cnt[:, :, None, :])
+        return jnp.sum(jnp.where(ok[..., None], gb, 0.0) ** 2)
+
+    ga = np.asarray(jax.grad(lambda f: loss(f, ""))(jnp.asarray(feat)))
+    gb_ = np.asarray(jax.grad(lambda f: loss(f, "1"))(jnp.asarray(feat)))
+    np.testing.assert_array_equal(gb_, ga)

@@ -433,11 +433,11 @@ def _kernel_pair(vcnt_ref, vidx_ref, q_ref, pi_ref, *refs, ns, n_sb,
     jax.jit,
     static_argnames=("ns", "max_r2", "min_r2", "qr", "use_window",
                      "has_coords", "sb", "interpret", "need_idx",
-                     "need_srow", "blocked"),
+                     "need_srow", "blocked", "raw4d"),
 )
 def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
                  has_coords, sb, interpret=False, need_idx=True,
-                 need_srow=True, blocked=False):
+                 need_srow=True, blocked=False, raw4d=False):
     """bb (B, n_sb8, 16) f32 block bboxes (xyz rows in 1/FP units);
     q (B, Qp, 8) f32 [xyz_fp, coords, valid, pad]; pi (B, NI, Np) i32
     [xyz_fp(3), coords(3), orig_row, sorted_row, bitcast feats...]
@@ -574,7 +574,16 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     # max-over-ns reduce are layout-agnostic, so they run blocked and
     # only the pooled (B, Q, C) result is unsorted back (see
     # fused_query_group_blocked).
-    def unblock(x):
+    def unblock(x, raw=False):
+        if raw:
+            # raw4d: hand back the kernel's (B, nq, ns*QB, ch) output
+            # untouched. The 5-D reshape below is bitwise-free but lets
+            # XLA's layout assignment relayout the WHOLE payload to
+            # QB-minor for the blocked consumers (measured 4.4 ms/fwd at
+            # KITTI b16, copy.1072); slicing channels on the 4-D array
+            # first (lane slices + pure minor-dim row splits) removes
+            # that possibility — see _run_core.
+            return x
         x = x.reshape(B, nq, ns, QB, x.shape[-1])
         if blocked:
             return x
@@ -584,11 +593,12 @@ def _fused_group(bb, q, pi, pf, ns, max_r2, min_r2, qr, use_window,
     def shape_cnt(c):
         return c.reshape(B, nq, QB) if blocked else c.reshape(B, Qp)
 
+    raw = blocked and raw4d
     if pf is not None:
         outf, outi, cnt = res
-        return unblock(outf), unblock(outi), shape_cnt(cnt)
+        return unblock(outf), unblock(outi, raw), shape_cnt(cnt)
     outi, cnt = res
-    return None, unblock(outi), shape_cnt(cnt)
+    return None, unblock(outi, raw), shape_cnt(cnt)
 
 
 def prepare_sources(src_xyz, src_feat, src_valid, src_coords=None,
@@ -849,14 +859,43 @@ def fused_query_group_blocked(prepared, qs, ns, max_radius,
 
 
 
+# Slice the int payload's channels on the KERNEL's 4-D output, then split
+# the row dim per channel (pure minor-dim splits, relayout-proof) instead
+# of reshaping the full payload to 5-D first (XLA relayouts that to
+# QB-minor: 4.4 ms/fwd at KITTI b16). A/B via env; numerics identical.
+def _split4d():
+    return bool(__import__("os").environ.get("TSM_GROUP_SPLIT4D", ""))
+
+
 def _run_core(bb, q, pi, feats, ns, max_r2, min_r2, qr, use_window,
               has_coords, interpret, nf, sb, need_idx=True,
               need_srow=True, blocked=False):
     pf = feats if nf > 3 else None
+    raw4d = blocked and _split4d()
     outf, outi, cnt = _fused_group(bb, q, pi, pf, ns, max_r2, min_r2,
                                    qr, use_window, has_coords, sb,
                                    interpret=interpret, need_idx=need_idx,
-                                   need_srow=need_srow, blocked=blocked)
+                                   need_srow=need_srow, blocked=blocked,
+                                   raw4d=raw4d)
+    if raw4d:
+        B_, nq_, RQ, _ = outi.shape
+
+        def ch(c):
+            return outi[..., c].reshape(B_, nq_, RQ // QB, QB)
+
+        g_xyz = jnp.stack([ch(0), ch(1), ch(2)],
+                          -1).astype(jnp.float32) / FP
+        idx = ch(3)
+        srow = ch(4)
+        if nf == 0:
+            grouped = g_xyz
+        elif outf is not None:
+            grouped = jnp.concatenate([g_xyz, outf], -1)
+        else:
+            fb = jax.lax.bitcast_convert_type(
+                jnp.stack([ch(5 + i) for i in range(nf)], -1), jnp.float32)
+            grouped = jnp.concatenate([g_xyz, fb], -1)
+        return grouped, idx, cnt, srow
     g_xyz = outi[..., :3].astype(jnp.float32) / FP
     idx = outi[..., 3]
     if nf == 0:
