@@ -863,6 +863,13 @@ def fused_query_group_blocked(prepared, qs, ns, max_radius,
 # the row dim per channel (pure minor-dim splits, relayout-proof) instead
 # of reshaping the full payload to 5-D first (XLA relayouts that to
 # QB-minor: 4.4 ms/fwd at KITTI b16). A/B via env; numerics identical.
+# r5 on-chip outcome: NEGATIVE, keep OFF. KITTI model bench 146.4 vs
+# 166.8 scans/s (-12%: five strided lane-slice extractions cost more
+# than the one 64 MB relayout copy) and the Waymo graph OOMs HBM
+# (16.17 G vs 15.75: the per-channel splits materialize). The copy's
+# real fix is a transposed-store kernel (channels on sublanes, QB on
+# lanes, i.e. the layout XLA wants) — round-6 lever, not an XLA-side
+# reshuffle.
 def _split4d():
     return bool(__import__("os").environ.get("TSM_GROUP_SPLIT4D", ""))
 
