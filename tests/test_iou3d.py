@@ -229,3 +229,40 @@ def test_multi_thresh_shared_matrix_matches_per_pass_composition():
     np.testing.assert_allclose(
         np.asarray(got_sc)[:c], np.asarray(ref_sc)[:c], rtol=0, atol=0
     )
+
+
+def test_multi_thresh_batched_classes_matches_loop(monkeypatch):
+    """The class-batched keep fixpoint (r5, TSM_NMS_BATCHED default) is
+    bitwise-equal to the sequential per-class loop."""
+    from tsm_det_pointcloud_tpu.models.model_utils.model_nms_utils import (
+        multi_thresh_nms,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 256
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0:2] = rng.uniform(-30, 30, (n, 2))
+    boxes[:, 2] = rng.uniform(-1, 1, n)
+    boxes[:, 3:6] = rng.uniform(1, 4, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    # clustered duplicates so suppression chains are deep
+    boxes[n // 2:] = boxes[: n - n // 2] + rng.normal(
+        0, 0.15, (n - n // 2, 7)).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    labels = rng.randint(1, 4, n).astype(np.int32)
+    cfg = {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.3,
+           "NMS_PRE_MAXSIZE": 4096, "NMS_POST_MAXSIZE": 32}
+    thresh_list = [0.1, 0.1, 0.1]
+
+    def run(flag):
+        monkeypatch.setenv("TSM_NMS_BATCHED", flag)
+        return multi_thresh_nms(
+            jnp.asarray(scores), jnp.asarray(boxes), jnp.asarray(labels),
+            cfg, thresh_list)
+
+    i0, c0, s0 = map(np.asarray, run("0"))
+    i1, c1, s1 = map(np.asarray, run("1"))
+    assert int(c1) == int(c0)
+    k = int(c0)
+    np.testing.assert_array_equal(i1[:k], i0[:k])
+    np.testing.assert_array_equal(s1[:k], s0[:k])

@@ -10,9 +10,19 @@ enter the kept set; `count` reports real detections.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from ...ops import iou3d
+
+
+def _batched_classes():
+    # one class-batched suppression fixpoint instead of num_class
+    # sequential ones (dispatch-latency-bound at Waymo scale). Exact;
+    # TSM_NMS_BATCHED=0 is the kill switch / A-B probe.
+    return os.environ.get("TSM_NMS_BATCHED", "1") != "0"
 
 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
@@ -58,12 +68,31 @@ def multi_thresh_nms(cls_scores, box_preds, labels, nms_config, score_thresh_lis
         s_mat = iou3d.suppression_matrix(
             box_preds, nms_thresh, rotated=rotated
         )
-        kept_mask = jnp.zeros_like(gated, bool)
-        for c in range(1, num_class + 1):
-            cls_gated = jnp.where(labels == c, gated, -jnp.inf)
-            kept_mask |= iou3d.nms_keep_mask_from_matrix(
-                s_mat, cls_gated, pre_maxsize=pre, post_maxsize=post
-            )
+        if _batched_classes():
+            # r5: the per-class keep fixpoints are independent and each
+            # while iteration touches ~1 MB of packed words — the cost
+            # is sequential dispatch latency, not bandwidth. vmap the
+            # classes into ONE batched fixpoint (iterates to the MAX
+            # chain depth across classes; converged classes ride along
+            # as no-ops, results identical — cross-checked in
+            # tests/test_iou3d.py::test_multi_thresh_batched_classes).
+            cls_ids = jnp.arange(1, num_class + 1)
+            cls_gated = jnp.where(
+                labels[None, :] == cls_ids[:, None], gated[None], -jnp.inf
+            )                                            # (C, N)
+            keeps = jax.vmap(
+                lambda g: iou3d.nms_keep_mask_from_matrix(
+                    s_mat, g, pre_maxsize=pre, post_maxsize=post
+                )
+            )(cls_gated)
+            kept_mask = jnp.any(keeps, axis=0)
+        else:
+            kept_mask = jnp.zeros_like(gated, bool)
+            for c in range(1, num_class + 1):
+                cls_gated = jnp.where(labels == c, gated, -jnp.inf)
+                kept_mask |= iou3d.nms_keep_mask_from_matrix(
+                    s_mat, cls_gated, pre_maxsize=pre, post_maxsize=post
+                )
         survivors = jnp.where(kept_mask, gated, -jnp.inf)
         return iou3d.nms_from_matrix(
             s_mat, survivors, pre_maxsize=pre, post_maxsize=post
