@@ -20,9 +20,13 @@ from ...ops import iou3d
 
 def _batched_classes():
     # one class-batched suppression fixpoint instead of num_class
-    # sequential ones (dispatch-latency-bound at Waymo scale). Exact;
-    # TSM_NMS_BATCHED=0 is the kill switch / A-B probe.
-    return os.environ.get("TSM_NMS_BATCHED", "1") != "0"
+    # sequential ones. Exact (cross-checked), but the on-chip A/B read
+    # NEGATIVE at Waymo b8: 24.53 batched vs 25.88 sequential (-5%) —
+    # the vmapped path materializes the (C, n, n) per-class rank masks
+    # that the sequential loop lets XLA reuse one buffer for, and that
+    # bandwidth exceeds the saved while-dispatch latency. Default OFF;
+    # TSM_NMS_BATCHED=1 re-enables for future A/B.
+    return os.environ.get("TSM_NMS_BATCHED", "0") == "1"
 
 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None):
